@@ -1,0 +1,71 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh so that sharding paths can be
+exercised without TPU pod hardware; numerical behavior on CPU matches the
+TPU path at the tolerances the tests gate on.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+GOLDEN_DIR = pathlib.Path(__file__).parent / "golden" / "data"
+
+
+@pytest.fixture(scope="session")
+def golden_manifest():
+    with open(GOLDEN_DIR / "manifest.json") as f:
+        return json.load(f)
+
+
+def load_golden(name: str) -> np.ndarray:
+    return np.load(GOLDEN_DIR / f"{name}.npy")
+
+
+def xorshift128_fill(shape, dtype, seed: int) -> np.ndarray:
+    """Bit-exact mirror of the golden generator's XS128 PRNG
+    (tests/golden/src/gen_golden.cpp)."""
+    M = 0xFFFFFFFF
+    x = (123456789 ^ ((seed * 2654435761) & M)) & M
+    y = (362436069 ^ ((seed * 0x9E3779B9) & M)) & M
+    z = (521288629 + seed) & M
+    w = (88675123 ^ ((seed << 7) & M)) & M
+
+    n = int(np.prod(shape))
+    out = np.empty(n + 16, dtype=np.uint32)
+    for i in range(n + 16):
+        t = (x ^ ((x << 11) & M)) & M
+        x, y, z = y, z, w
+        w = (w ^ (w >> 19) ^ t ^ (t >> 8)) & M
+        out[i] = w
+    bits = out[16:]
+
+    if dtype == np.uint8:
+        return (bits >> 24).astype(np.uint8).reshape(shape)
+    if dtype == np.uint16:
+        return (bits >> 16).astype(np.uint16).reshape(shape)
+    if dtype == np.float32:
+        return (bits.astype(np.float64) / 4294967296.0).astype(
+            np.float32
+        ).reshape(shape)
+    raise ValueError(dtype)
+
+
+def psnr(a: np.ndarray, b: np.ndarray, peak: float) -> float:
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    mse = np.mean((a - b) ** 2)
+    if mse == 0:
+        return np.inf
+    return 10.0 * np.log10(peak * peak / mse)
