@@ -1,0 +1,116 @@
+"""End-to-end golden tests: plan + host (NumPy) execution vs outputs of the
+compiled reference library.
+
+Gates: integer outputs within 1 LSB and >= 60 dB PSNR (most configs are
+bit-exact); float outputs within 5e-7.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from conftest import GOLDEN_DIR, load_golden, psnr, xorshift128_fill
+
+import avir_tpu
+from avir_tpu.models.host_reference import execute_plan_numpy
+from avir_tpu.plan.compose import apply_banded_numpy
+from avir_tpu.plan.lancir_plan import build_lancir_plan
+from avir_tpu.plan.plan import build_resize_plan
+
+DT = {"u8": np.uint8, "u16": np.uint16, "f32": np.float32}
+
+
+def _manifest():
+    with open(GOLDEN_DIR / "manifest.json") as f:
+        return json.load(f)
+
+
+_M = _manifest()
+AVIR_CONFIGS = [n for n, c in _M.items() if c.get("kind") == "avir"]
+LANCIR_CONFIGS = [n for n, c in _M.items() if c.get("kind") == "lancir"]
+
+
+def run_lancir_host(plan, src, out_dtype):
+    x = src.astype(np.float64)
+    x = np.moveaxis(x, 1, 0)
+    x = apply_banded_numpy(plan.h, x)
+    x = np.moveaxis(x, 0, 1)
+    x = apply_banded_numpy(plan.v, x)
+    if plan.is_out_float:
+        return (x * plan.out_mul).astype(np.float32)
+    return np.rint(np.clip(x * plan.out_mul, 0, plan.clamp)).astype(out_dtype)
+
+
+@pytest.mark.parametrize("name", AVIR_CONFIGS)
+def test_avir_golden(name):
+    cfg = _M[name]
+    src = xorshift128_fill(
+        (cfg["sh"], cfg["sw"], cfg["ch"]), DT[cfg["tin"]], cfg["seed"]
+    )
+    plan = build_resize_plan(
+        cfg["sw"], cfg["sh"], cfg["nw"], cfg["nh"], cfg["ch"],
+        DT[cfg["tin"]], DT[cfg["tout"]],
+        k=cfg["k"], ox=cfg["ox"], oy=cfg["oy"],
+        params=avir_tpu.preset(cfg["preset"]),
+        res_bit_depth=cfg["bitdepth"],
+        use_srgb_gamma=bool(cfg["gamma"]),
+        alpha_index=cfg["alphaidx"],
+    )
+    out = execute_plan_numpy(plan, src, errdiff=(cfg["dither"] == "errd"))
+    ref = load_golden(name)
+    assert out.shape == ref.shape
+    assert out.dtype == ref.dtype
+
+    if cfg["tout"] == "f32":
+        np.testing.assert_allclose(out, ref, rtol=0, atol=5e-7)
+    else:
+        peak = 255.0 if cfg["tout"] == "u8" else 65535.0
+        maxdiff = np.abs(
+            out.astype(np.float64) - ref.astype(np.float64)
+        ).max()
+        assert maxdiff <= 1, f"maxdiff {maxdiff}"
+        assert psnr(out, ref, peak) >= 60.0
+
+
+@pytest.mark.parametrize("name", LANCIR_CONFIGS)
+def test_lancir_golden(name):
+    cfg = _M[name]
+    src = xorshift128_fill(
+        (cfg["sh"], cfg["sw"], cfg["ch"]), DT[cfg["tin"]], cfg["seed"]
+    )
+    plan = build_lancir_plan(
+        cfg["sw"], cfg["sh"], cfg["nw"], cfg["nh"], cfg["ch"],
+        DT[cfg["tin"]], DT[cfg["tout"]],
+        kx=cfg["kx"], ky=cfg["ky"], ox=cfg["ox"], oy=cfg["oy"],
+        la=cfg["la"],
+    )
+    out = run_lancir_host(plan, src, DT[cfg["tout"]])
+    ref = load_golden(name)
+    assert out.shape == ref.shape
+
+    if cfg["tout"] == "f32":
+        np.testing.assert_allclose(out, ref, rtol=0, atol=5e-7)
+    else:
+        peak = 255.0 if cfg["tout"] == "u8" else 65535.0
+        maxdiff = np.abs(
+            out.astype(np.float64) - ref.astype(np.float64)
+        ).max()
+        assert maxdiff <= 1, f"maxdiff {maxdiff}"
+        assert psnr(out, ref, peak) >= 60.0
+
+
+def test_srgb_curves_match_reference():
+    from avir_tpu.ops.gamma import linear_to_srgb_np, srgb_to_linear_np
+
+    x = load_golden("f_srgb_x")
+    np.testing.assert_allclose(
+        srgb_to_linear_np(x), load_golden("f_srgb2lin"), rtol=0, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        linear_to_srgb_np(x), load_golden("f_lin2srgb"), rtol=0, atol=1e-12
+    )
+    # The reference's uint8 LUT is the same approximation tabulated.
+    lut = load_golden("f_srgb_lut8")
+    got = srgb_to_linear_np(np.arange(256) / 255.0).astype(np.float32)
+    np.testing.assert_allclose(got, lut, rtol=0, atol=2e-7)
