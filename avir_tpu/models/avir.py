@@ -1,10 +1,125 @@
-"""AVIR pipeline driver (placeholder — implemented incrementally)."""
+"""AVIR pipeline driver: the public resize API.
+
+TPU-native equivalent of ``avir::CImageResizer<>::resizeImage``
+(/root/reference/avir.h:4609-5092): the constructor fixes bit depths and
+the quality preset; ``resize`` plans (host, cached) and executes (device,
+jitted) a full H+V resize with optional sub-pixel shift, sRGB gamma and
+dithering.  Unlike the reference the object IS safe to reuse concurrently
+— plans and compiled executors are immutable once built.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Optional
+
+import numpy as np
+
+from ..params import PARAMS_DEF, Params
+from ..plan.plan import build_resize_plan
+from .runtime import make_avir_executor
 
 
-class ImageResizer:  # pragma: no cover - stub
-    def __init__(self, *a, **k):
-        raise NotImplementedError("ImageResizer lands with the plan layer")
+class ImageResizer:
+    """Image resizer with a fixed quality preset and output bit depth.
+
+    Mirrors the constructor contract of the reference
+    (avir.h:4630-4639): ``res_bit_depth`` is the significant output bit
+    depth (8 or 16, or lower for dithered low-bit output),
+    ``src_bit_depth`` defaults to it.
+    """
+
+    def __init__(
+        self,
+        res_bit_depth: int = 8,
+        src_bit_depth: int = 0,
+        params: Params = PARAMS_DEF,
+    ):
+        self.res_bit_depth = res_bit_depth
+        self.src_bit_depth = src_bit_depth
+        self.params = params
+        self._cache: dict = {}
+        self._lock = threading.Lock()
+
+    def _executor(self, key, build):
+        with self._lock:
+            fn = self._cache.get(key)
+            if fn is None:
+                fn = build()
+                self._cache[key] = fn
+        return fn
+
+    def resize(
+        self,
+        src: np.ndarray,
+        new_w: int,
+        new_h: int,
+        k: float = 0.0,
+        ox: float = 0.0,
+        oy: float = 0.0,
+        out_dtype=None,
+        use_srgb_gamma: bool = False,
+        alpha_index: int = -1,
+        dither: str = "default",
+        build_mode: int = -1,
+        fast: bool = False,
+    ) -> np.ndarray:
+        """Resize ``src`` ([H, W, C] or [H, W]) to new_w x new_h.
+
+        ``k``: 0 = auto per-axis scale with centering; >0 = uniform scale
+        with centering; <0 = |k| without centering (avir.h:4709-4736).
+        ``ox``/``oy``: sub-pixel shift in source pixels.
+        ``dither``: "default" (round+clamp) or "errdiff" (error
+        diffusion).  Returns a NumPy array in the output dtype.
+        """
+        src = np.asarray(src)
+        squeeze = src.ndim == 2
+        if squeeze:
+            src = src[:, :, None]
+        sh, sw, ch = src.shape
+        if out_dtype is None:
+            out_dtype = src.dtype
+        out_dtype = np.dtype(out_dtype)
+
+        if new_w <= 0 or new_h <= 0:
+            raise ValueError("target size must be positive")
+        if sw == 0 or sh == 0:
+            out = np.zeros((new_h, new_w, ch), dtype=out_dtype)
+            return out[:, :, 0] if squeeze else out
+
+        key = (
+            sw, sh, new_w, new_h, ch, src.dtype.str, out_dtype.str,
+            k, ox, oy, use_srgb_gamma, alpha_index, dither, build_mode,
+            fast,
+        )
+
+        def build():
+            plan = build_resize_plan(
+                sw, sh, new_w, new_h, ch, src.dtype, out_dtype,
+                k=k, ox=ox, oy=oy, params=self.params,
+                res_bit_depth=self.res_bit_depth,
+                src_bit_depth=self.src_bit_depth,
+                use_srgb_gamma=use_srgb_gamma,
+                alpha_index=alpha_index,
+                build_mode=build_mode,
+            )
+            return make_avir_executor(
+                plan, errdiff=(dither == "errdiff"), fast=fast
+            )
+
+        out = np.asarray(self._executor(key, build)(src))
+        return out[:, :, 0] if squeeze else out
 
 
-def resize(*a, **k):  # pragma: no cover - stub
-    raise NotImplementedError("resize lands with the plan layer")
+def resize(src: np.ndarray, new_w: int, new_h: int, **kwargs) -> np.ndarray:
+    """One-shot resize with the default preset (see ImageResizer.resize).
+
+    Extra keyword arguments ``params``, ``res_bit_depth`` and
+    ``src_bit_depth`` configure the resizer itself.
+    """
+    rz = ImageResizer(
+        res_bit_depth=kwargs.pop("res_bit_depth", 8),
+        src_bit_depth=kwargs.pop("src_bit_depth", 0),
+        params=kwargs.pop("params", PARAMS_DEF),
+    )
+    return rz.resize(src, new_w, new_h, **kwargs)

@@ -1,10 +1,75 @@
-"""LANCIR pipeline driver (placeholder — implemented incrementally)."""
+"""LANCIR driver: the fast Lanczos resize path.
+
+TPU-native equivalent of ``avir::CLancIR::resizeImage``
+(/root/reference/lancir.h:386-713).  Unlike the reference object (which
+is explicitly NOT thread-safe, lancir.h:319-324), this driver only holds
+immutable cached plans/executors and is safe to share.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import numpy as np
+
+from ..plan.lancir_plan import build_lancir_plan
+from .runtime import make_lancir_executor
 
 
-class LancIR:  # pragma: no cover - stub
-    def __init__(self, *a, **k):
-        raise NotImplementedError("LancIR lands with the plan layer")
+class LancIR:
+    def __init__(self):
+        self._cache: dict = {}
+        self._lock = threading.Lock()
+
+    def resize(
+        self,
+        src: np.ndarray,
+        new_w: int,
+        new_h: int,
+        kx: float = 0.0,
+        ky: float = 0.0,
+        ox: float = 0.0,
+        oy: float = 0.0,
+        la: float = 3.0,
+        out_dtype=None,
+        fast: bool = False,
+    ) -> np.ndarray:
+        """Lanczos resize of ``src`` ([H, W, C] or [H, W]).
+
+        ``kx``/``ky``: 0 = auto scale with centering; >0 = given scale
+        with centering; <0 = |k| without centering (lancir.h:430-457).
+        ``la``: Lanczos window size, >= 2 (lancir.h:291-307).
+        """
+        src = np.asarray(src)
+        squeeze = src.ndim == 2
+        if squeeze:
+            src = src[:, :, None]
+        sh, sw, ch = src.shape
+        if out_dtype is None:
+            out_dtype = src.dtype
+        out_dtype = np.dtype(out_dtype)
+        if new_w <= 0 or new_h <= 0:
+            raise ValueError("target size must be positive")
+
+        key = (
+            sw, sh, new_w, new_h, ch, src.dtype.str, out_dtype.str,
+            kx, ky, ox, oy, la, fast,
+        )
+        with self._lock:
+            fn = self._cache.get(key)
+            if fn is None:
+                plan = build_lancir_plan(
+                    sw, sh, new_w, new_h, ch, src.dtype, out_dtype,
+                    kx=kx, ky=ky, ox=ox, oy=oy, la=la,
+                )
+                fn = make_lancir_executor(plan, fast=fast)
+                self._cache[key] = fn
+        out = np.asarray(fn(src))
+        return out[:, :, 0] if squeeze else out
 
 
-def lancir_resize(*a, **k):  # pragma: no cover - stub
-    raise NotImplementedError("lancir_resize lands with the plan layer")
+def lancir_resize(
+    src: np.ndarray, new_w: int, new_h: int, **kwargs
+) -> np.ndarray:
+    """One-shot LANCIR resize (see LancIR.resize)."""
+    return LancIR().resize(src, new_w, new_h, **kwargs)

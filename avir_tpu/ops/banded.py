@@ -1,0 +1,147 @@
+"""Device execution of banded scanline operators.
+
+The planner (plan/compose.py) collapses each axis's filtering chain into a
+single banded operator ``out[i] = sum_j taps[i, j] * src[starts[i] + j]``.
+This module lowers that operator to the TPU MXU: the output axis is tiled
+into blocks of ``tile`` rows; each block reads one contiguous input window
+of ``win`` rows (window starts are plan-time constants), and the whole
+pass becomes ONE batched dense matmul
+
+    out[b] = A[b] @ x[offs[b] : offs[b] + win]      # [tile,win] @ [win,R]
+
+which XLA tiles onto the systolic array.  This replaces the reference's
+pointer-walking per-scanline kernels (doFilter/doResize/doUpsample,
+/root/reference/avir.h:3249-4331) — there is no per-pixel gather on
+device, only a blockwise contiguous window fetch plus MXU work.
+
+Everything here is shape-static: offsets, window sizes and tap tensors are
+baked at plan time, so the resize function is traced once per
+(geometry, params) and cached by jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..plan.compose import BandedOp
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pick_tile(op: BandedOp) -> int:
+    """Choose the output tile size minimizing modeled MXU work.
+
+    Cost model: total FLOPs = n_blocks * tile * win where
+    win ~= tile * k + width.  Small tiles waste less on the dense
+    zero-fill of the band but leave the MXU sublane dim short; 8 rows is
+    the fp32 sublane minimum, so candidates start at 64.
+    """
+    n_out = op.n_out
+    if n_out <= 64:
+        return _round_up(max(n_out, 8), 8)
+    k = (op.starts[-1] - op.starts[0]) / max(n_out - 1, 1)
+    best, best_cost = 64, None
+    for tile in (64, 128, 256, 512):
+        win = _round_up(int(math.ceil(tile * k)) + op.width + 8, 128)
+        blocks = -(-n_out // tile)
+        cost = blocks * tile * win
+        if best_cost is None or cost < best_cost * 0.98:
+            best, best_cost = tile, cost
+    return best
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockedBandedOp:
+    """Plan-time constant, device-resident form of a BandedOp."""
+
+    n_in: int
+    n_out: int
+    n_in_pad: int  # input rows after zero-pad (>= offs.max() + win)
+    tile: int
+    win: int
+    offs: jax.Array  # int32 [n_blocks] — input window starts
+    taps: jax.Array  # f32 [n_blocks, tile, win]
+
+    @property
+    def n_blocks(self) -> int:
+        return self.offs.shape[0]
+
+    @property
+    def flops_per_col(self) -> int:
+        return 2 * self.n_blocks * self.tile * self.win
+
+
+def block_banded(
+    op: BandedOp,
+    tile: int | None = None,
+    dtype=jnp.float32,
+    lane_align: int = 128,
+) -> BlockedBandedOp:
+    """Lower a BandedOp to its blocked dense-matmul form."""
+    if tile is None:
+        tile = pick_tile(op)
+    n_out, width = op.n_out, op.width
+    n_blocks = -(-n_out // tile)
+
+    starts = op.starts.astype(np.int64)
+    offs = np.empty(n_blocks, dtype=np.int64)
+    spans = np.empty(n_blocks, dtype=np.int64)
+    for b in range(n_blocks):
+        lo = b * tile
+        hi = min(lo + tile, n_out)
+        offs[b] = starts[lo]
+        spans[b] = starts[hi - 1] + width - starts[lo]
+    win = _round_up(int(spans.max()), lane_align)
+
+    # Zero-pad the input so every window is in range; taps there are zero
+    # (edge clamping was folded into the taps at compose time).
+    n_in_pad = max(op.n_in, int(offs.max()) + win)
+
+    dense = np.zeros((n_blocks, tile, win), dtype=np.float32)
+    rows = np.arange(n_out)
+    b_of = rows // tile
+    r_of = rows % tile
+    col0 = starts - offs[b_of]
+    for j in range(width):
+        dense[b_of, r_of, col0 + j] = op.taps[:, j]
+
+    return BlockedBandedOp(
+        n_in=op.n_in,
+        n_out=n_out,
+        n_in_pad=n_in_pad,
+        tile=tile,
+        win=win,
+        offs=jnp.asarray(offs, dtype=jnp.int32),
+        taps=jnp.asarray(dense, dtype=dtype),
+    )
+
+
+def apply_blocked(
+    bop: BlockedBandedOp,
+    x: jax.Array,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Apply the operator along axis 0 of ``x`` ([n_in, R] -> [n_out, R])."""
+    r = x.shape[1]
+    if bop.n_in_pad > x.shape[0]:
+        x = jnp.pad(x, ((0, bop.n_in_pad - x.shape[0]), (0, 0)))
+    # [n_blocks, win, R] contiguous window fetch (static indices).
+    idx = bop.offs[:, None] + jnp.arange(bop.win, dtype=jnp.int32)[None, :]
+    xw = jnp.take(x, idx.reshape(-1), axis=0).reshape(
+        bop.n_blocks, bop.win, r
+    )
+    y = jax.lax.dot_general(
+        bop.taps,
+        xw,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )  # [n_blocks, tile, R]
+    return y.reshape(bop.n_blocks * bop.tile, r)[: bop.n_out]
