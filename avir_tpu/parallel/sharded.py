@@ -1,0 +1,305 @@
+"""Multi-chip sharded execution: scanline parallelism over a device mesh.
+
+The reference's only parallelism is a thread pool fanning scanlines across
+host threads (/root/reference/avir.h:2102-2225, 4861-4894).  The TPU-native
+equivalent shards image ROWS across a mesh axis:
+
+  - the horizontal pass needs only full scanlines, which every device has
+    (W is unsharded) — embarrassingly parallel, zero communication;
+  - the vertical pass contracts over the sharded row axis; each device
+    computes its strip of output rows from its input strip plus small
+    HALO regions exchanged with mesh neighbors via ``jax.lax.ppermute``
+    over ICI.  The halo size is the banded operator's overhang past the
+    strip boundary — known statically from the plan (it is exactly the
+    reference's per-step InPrefix/InSuffix requirement,
+    avir.h:5899-5900, reborn as a communication pattern).
+
+A second mesh axis gives batch data-parallelism for free (images are
+independent).  When a plan's vertical band is wider than a strip (extreme
+downsizing on many devices), the builder falls back to a row
+``all_gather`` for correctness.
+
+All collectives are XLA collectives inside one jitted ``shard_map`` —
+there is no NCCL/MPI equivalent to manage.
+
+Row padding: inputs whose height is not a multiple of the row-mesh size
+are zero-padded with ``pad_rows``.  This is sound because the composed
+vertical taps only ever reference rows < src_h (edge clamping is folded
+into the taps at compose time), so pad rows are processed by the local H
+pass but never read by the V pass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.banded import BandedOp, _round_up, apply_blocked, block_banded
+from ..ops.dither import default_dither_jnp
+from ..ops.gamma import linear_to_srgb_jnp, srgb_to_linear_jnp
+from ..plan.plan import ResizePlan
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedVOp:
+    """Per-device blocked form of the vertical banded operator.
+
+    Device d owns output rows [d*m, (d+1)*m) (m = padded n_out / n_dev)
+    and reads input rows [d*strip - halo_lo, (d+1)*strip + halo_hi) in
+    global coordinates (or all rows in the all-gather fallback).
+    """
+
+    n_in: int            # global input rows (unpadded image height)
+    n_out: int           # global output rows (unpadded)
+    strip: int           # input rows per device (of the padded height)
+    m: int               # output rows per device
+    halo_lo: int
+    halo_hi: int
+    win: int
+    tile: int
+    offs: np.ndarray     # int32 [n_dev, blocks] — local window starts
+    taps: np.ndarray     # f32 [n_dev, blocks, tile, win]
+    use_all_gather: bool
+
+
+def shard_v_op(
+    op: BandedOp, n_dev: int, padded_h: int, tile: int = 64
+) -> ShardedVOp:
+    """Split a vertical BandedOp into per-device blocked operators with
+    uniform shapes and compute the halo requirement."""
+    assert padded_h % n_dev == 0 and padded_h >= op.n_in
+    n_out, width = op.n_out, op.width
+    m = -(-n_out // n_dev)
+    strip = padded_h // n_dev
+    blocks = -(-m // tile)
+    starts = op.starts.astype(np.int64)
+
+    # Global input range needed by each device's output rows.
+    need_lo = np.empty(n_dev, dtype=np.int64)
+    need_hi = np.empty(n_dev, dtype=np.int64)
+    for d in range(n_dev):
+        lo, hi = d * m, min((d + 1) * m, n_out)
+        if lo >= n_out:  # device owns only padding rows
+            need_lo[d] = min(d * strip, op.n_in)
+            need_hi[d] = need_lo[d]
+        else:
+            need_lo[d] = starts[lo]
+            need_hi[d] = starts[hi - 1] + width
+
+    halo_lo = int(max(0, np.max(np.arange(n_dev) * strip - need_lo)))
+    halo_hi = int(
+        max(0, np.max(need_hi - (np.arange(n_dev) + 1) * strip))
+    )
+    use_all_gather = halo_lo > strip or halo_hi > strip
+    if use_all_gather:
+        halo_lo = 0
+        halo_hi = 0
+
+    # Window size: max span of any tile-block of output rows.
+    win = 0
+    for b0 in range(0, n_out, tile):
+        b1 = min(b0 + tile, n_out)
+        win = max(win, int(starts[b1 - 1]) + width - int(starts[b0]))
+    win = _round_up(win, 128)
+
+    offs = np.zeros((n_dev, blocks), dtype=np.int64)
+    taps = np.zeros((n_dev, blocks, tile, win), dtype=np.float32)
+    for d in range(n_dev):
+        base = 0 if use_all_gather else d * strip - halo_lo
+        for b in range(blocks):
+            lo = d * m + b * tile
+            hi = min(lo + tile, n_out)
+            if lo >= n_out:
+                continue
+            off = int(starts[lo]) - base
+            assert off >= 0
+            offs[d, b] = off
+            for i in range(lo, hi):
+                c0 = int(starts[i]) - base - off
+                taps[d, b, i - lo, c0 : c0 + width] = op.taps[i]
+
+    return ShardedVOp(
+        n_in=op.n_in,
+        n_out=n_out,
+        strip=strip,
+        m=m,
+        halo_lo=halo_lo,
+        halo_hi=halo_hi,
+        win=win,
+        tile=tile,
+        offs=offs.astype(np.int32),
+        taps=taps,
+        use_all_gather=use_all_gather,
+    )
+
+
+def _apply_local_blocked(
+    x: jax.Array, offs: jax.Array, taps: jax.Array, precision
+) -> jax.Array:
+    """x [n_local, R]; offs [blocks]; taps [blocks, tile, win] ->
+    [blocks*tile, R].  Windows are dynamic slices of the local buffer
+    (offsets differ per device; shapes are uniform)."""
+    blocks, tile, win = taps.shape
+    r = x.shape[1]
+    xw = jnp.stack(
+        [
+            jax.lax.dynamic_slice(x, (offs[b], 0), (win, r))
+            for b in range(blocks)
+        ]
+    )
+    y = jax.lax.dot_general(
+        taps,
+        xw,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+    return y.reshape(blocks * tile, r)
+
+
+def pad_rows(src: np.ndarray, n_dev: int) -> np.ndarray:
+    """Zero-pad image rows (axis -2 of [..., H, WC]) to a multiple of the
+    row-mesh size."""
+    h = src.shape[-2]
+    pad = (-h) % n_dev
+    if pad == 0:
+        return src
+    widths = [(0, 0)] * src.ndim
+    widths[-2] = (0, pad)
+    return np.pad(src, widths)
+
+
+def make_sharded_avir_executor(
+    plan: ResizePlan,
+    mesh: Mesh,
+    rows_axis: str = "sp",
+    batch_axis: Optional[str] = None,
+    fast: bool = False,
+    tile: int = 64,
+) -> Callable[[jax.Array], jax.Array]:
+    """Compile a ResizePlan into a sharded executor over ``mesh``.
+
+    Input: [H_pad, W*C] flattened-interleaved image with H_pad a multiple
+    of the row-mesh size (see ``pad_rows``) — or [B, H_pad, W*C] when
+    ``batch_axis`` is given.  Rows are sharded over ``rows_axis``, batch
+    over ``batch_axis``.  Output is [new_h, new_w*C] (plus batch dim),
+    row-sharded the same way.
+
+    Dither is the non-recursive default ditherer; error diffusion is
+    inherently serial (the reference serializes it too, avir.h:5047-5068)
+    and lives only on the single-chip path.
+    """
+    n_dev = mesh.shape[rows_axis]
+    precision = (
+        jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
+    )
+    h, w, c = plan.src_h, plan.src_w, plan.el_count
+    new_w, new_h = plan.new_w, plan.new_h
+    padded_h = h + ((-h) % n_dev)
+
+    svop = shard_v_op(plan.v.op, n_dev, padded_h, tile=tile)
+    hop = block_banded(plan.h.op)
+
+    out_bits = 8 if plan.out_type_max == 255.0 else 16
+    trunc_bits = 0 if plan.is_out_float else out_bits - plan.res_bit_depth
+    out_dt = (
+        jnp.float32
+        if plan.is_out_float
+        else (jnp.uint8 if plan.out_type_max == 255.0 else jnp.uint16)
+    )
+
+    offs_c = jnp.asarray(svop.offs)
+    taps_c = jnp.asarray(svop.taps)
+    fwd = [(i, i + 1) for i in range(n_dev - 1)]
+    bwd = [(i + 1, i) for i in range(n_dev - 1)]
+
+    def shard_fn(x, v_offs, v_taps):
+        # x: [strip, W*C] local rows; v_offs [1, blocks]; v_taps [1, ...]
+        v_offs = v_offs[0]
+        v_taps = v_taps[0]
+        strip = x.shape[0]
+        x = x.astype(jnp.float32)
+
+        # --- pack + gamma + H pass (row-local) ------------------------
+        if plan.use_srgb_gamma:
+            x3 = x.reshape(strip, w, c) * jnp.float32(plan.in_gamma_mult)
+            x = srgb_to_linear_jnp(x3, plan.alpha_index).reshape(
+                strip, w * c
+            )
+        x = x.reshape(strip, w, c).transpose(1, 0, 2).reshape(
+            w, strip * c
+        )
+        x = apply_blocked(hop, x, precision)  # [new_w, strip*c]
+        x = (
+            x.reshape(new_w, strip, c)
+            .transpose(1, 0, 2)
+            .reshape(strip, new_w * c)
+        )
+
+        # --- assemble V-pass input: halos or full gather --------------
+        if svop.use_all_gather:
+            ext = jax.lax.all_gather(x, rows_axis, tiled=True)
+        else:
+            parts = []
+            if svop.halo_lo > 0:
+                parts.append(
+                    jax.lax.ppermute(x[-svop.halo_lo :], rows_axis, fwd)
+                )
+            parts.append(x)
+            if svop.halo_hi > 0:
+                parts.append(
+                    jax.lax.ppermute(x[: svop.halo_hi], rows_axis, bwd)
+                )
+            ext = jnp.concatenate(parts, axis=0)
+
+        need = int(svop.offs.max()) + svop.win
+        if need > ext.shape[0]:
+            ext = jnp.pad(ext, ((0, need - ext.shape[0]), (0, 0)))
+
+        # --- V pass: local blocked matmul -----------------------------
+        y = _apply_local_blocked(ext, v_offs, v_taps, precision)
+        y = y[: svop.m]  # [m, new_w*c]
+
+        # --- output conditioning --------------------------------------
+        if plan.use_srgb_gamma:
+            y3 = linear_to_srgb_jnp(
+                y.reshape(svop.m, new_w, c), plan.alpha_index
+            )
+            if plan.out_gamma_mult != 0.0:
+                y3 = y3 * jnp.float32(plan.out_gamma_mult)
+            y = y3.reshape(svop.m, new_w * c)
+        if not plan.is_out_float:
+            y = default_dither_jnp(y, trunc_bits, plan.out_type_max)
+        return y.astype(out_dt)
+
+    const_spec = P(rows_axis)
+    if batch_axis is None:
+        inner = jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(rows_axis, None), const_spec, const_spec),
+            out_specs=P(rows_axis, None),
+        )
+    else:
+        inner = jax.shard_map(
+            jax.vmap(shard_fn, in_axes=(0, None, None)),
+            mesh=mesh,
+            in_specs=(
+                P(batch_axis, rows_axis, None),
+                const_spec,
+                const_spec,
+            ),
+            out_specs=P(batch_axis, rows_axis, None),
+        )
+
+    @jax.jit
+    def run(src: jax.Array) -> jax.Array:
+        out = inner(src, offs_c, taps_c)
+        return out[..., :new_h, :]
+
+    return run

@@ -1,0 +1,87 @@
+"""Headline benchmark: 8K -> 1080p downsize (BASELINE.json metric).
+
+Resizes a 7680x4320 8-bit RGB image to 1920x1080 with the AVIR default
+preset on one TPU chip, gates output quality at >= 60 dB PSNR against the
+float64 host oracle (itself validated <= 1 LSB against the compiled
+reference on the golden configs), and prints ONE JSON line:
+
+  {"metric": "...", "value": <input Mpix/s/chip>, "unit": "Mpix/s",
+   "vs_baseline": <ratio>}
+
+Baseline: the reference's best published throughput — 242 Mpix/s input
+(5184x3456 -> 1920x1280, 8 threads on i7-7700K, /root/reference/
+README.md:157-162; the single-thread figure is 73 Mpix/s).
+
+Timing is on-device (profiler trace): in this dev environment the chip
+sits behind a network tunnel whose fixed per-dispatch RTT (~25 ms) and
+slow host<->device link are artifacts a local deployment does not pay.
+"""
+
+import json
+import sys
+
+import numpy as np
+
+SRC_W, SRC_H = 7680, 4320
+NEW_W, NEW_H = 1920, 1080
+BASELINE_MPIX_S = 242.0
+
+
+def main() -> int:
+    import jax
+
+    from avir_tpu.models.runtime import make_avir_executor
+    from avir_tpu.plan.compose import apply_banded_numpy
+    from avir_tpu.plan.plan import build_resize_plan
+    from avir_tpu.utils.benchmarking import device_ms
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 256, (SRC_H, SRC_W, 3), dtype=np.uint8)
+
+    plan = build_resize_plan(
+        SRC_W, SRC_H, NEW_W, NEW_H, 3, np.uint8, np.uint8
+    )
+    fn = make_avir_executor(plan)
+    d = jax.device_put(src)
+    out = np.asarray(fn(d))
+
+    # Quality gate vs the float64 host oracle.
+    x = src.astype(np.float64)
+    x = np.moveaxis(apply_banded_numpy(plan.h.op, np.moveaxis(x, 1, 0)), 0, 1)
+    x = apply_banded_numpy(plan.v.op, x)
+    oracle = np.clip(np.floor(x + 0.5), 0, 255).astype(np.uint8)
+    mse = np.mean(
+        (out.astype(np.float64) - oracle.astype(np.float64)) ** 2
+    )
+    psnr = float("inf") if mse == 0 else 10 * np.log10(255.0**2 / mse)
+    if psnr < 60.0:
+        print(
+            json.dumps(
+                {
+                    "metric": "8K->1080p AVIR downsize input throughput",
+                    "value": 0.0,
+                    "unit": "Mpix/s",
+                    "vs_baseline": 0.0,
+                    "error": f"PSNR gate failed: {psnr:.1f} dB",
+                }
+            )
+        )
+        return 1
+
+    ms, _ = device_ms(fn, d, n=10)
+    mpix_s = SRC_W * SRC_H / 1e6 / (ms / 1e3)
+    print(
+        json.dumps(
+            {
+                "metric": "8K->1080p AVIR downsize input throughput",
+                "value": round(mpix_s, 1),
+                "unit": "Mpix/s",
+                "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,13 +1,17 @@
 """Test configuration.
 
-Tests run on a virtual 8-device CPU mesh so that sharding paths can be
-exercised without TPU pod hardware; numerical behavior on CPU matches the
-TPU path at the tolerances the tests gate on.
+Tests prefer a virtual 8-device CPU backend so sharding paths can be
+exercised without TPU pod hardware.  In environments where a TPU plugin
+was eagerly registered at interpreter start (sitecustomize), these env
+settings are too late and the suite runs single-device on the real chip —
+mesh tests are therefore isolated in tests/mesh/ and launched by
+test_mesh.py in a subprocess with a sanitized environment.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+if not os.environ.get("AVIR_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

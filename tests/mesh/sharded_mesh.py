@@ -1,0 +1,117 @@
+"""Sharded-execution tests on the 8-device CPU mesh: halo-exchange row
+sharding must reproduce the single-chip results (and hence the golden
+oracles) at LSB tolerance.
+
+Not collected by the default suite (no test_ filename); launched by
+tests/test_mesh.py in a subprocess whose environment guarantees 8 CPU
+devices.  Can also be run directly:
+  env -u PALLAS_AXON_POOL_IPS python -m pytest tests/mesh/sharded_mesh.py
+"""
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+
+import conftest  # noqa: F401  (sets JAX_PLATFORMS/XLA_FLAGS before jax)
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+import avir_tpu
+from avir_tpu.parallel.sharded import (
+    make_sharded_avir_executor,
+    pad_rows,
+    shard_v_op,
+)
+from avir_tpu.plan.plan import build_resize_plan
+
+from conftest import load_golden, psnr, xorshift128_fill  # noqa: E402
+from test_plan_golden import _M, DT
+
+
+def row_mesh(n=8, name="sp"):
+    return Mesh(np.array(jax.devices()[:n]), (name,))
+
+
+@pytest.mark.parametrize("name", ["a_readme", "a_down8x"])
+def test_sharded_matches_golden(name):
+    cfg = _M[name]
+    src = xorshift128_fill(
+        (cfg["sh"], cfg["sw"], cfg["ch"]), DT[cfg["tin"]], cfg["seed"]
+    )
+    plan = build_resize_plan(
+        cfg["sw"], cfg["sh"], cfg["nw"], cfg["nh"], cfg["ch"],
+        src.dtype, DT[cfg["tout"]],
+    )
+    mesh = row_mesh()
+    fn = make_sharded_avir_executor(plan, mesh, rows_axis="sp")
+    flat = pad_rows(src.reshape(cfg["sh"], -1), 8)
+    out = np.asarray(fn(flat)).reshape(cfg["nh"], cfg["nw"], cfg["ch"])
+    ref = load_golden(name)
+    maxdiff = np.abs(out.astype(np.int64) - ref.astype(np.int64)).max()
+    assert maxdiff <= 1, maxdiff
+    assert psnr(out, ref, 255.0) >= 60.0
+
+
+def test_sharded_gamma_alpha():
+    cfg = _M["a_rgba8gamma"]
+    src = xorshift128_fill(
+        (cfg["sh"], cfg["sw"], cfg["ch"]), np.uint8, cfg["seed"]
+    )
+    plan = build_resize_plan(
+        cfg["sw"], cfg["sh"], cfg["nw"], cfg["nh"], cfg["ch"],
+        np.uint8, np.uint8, use_srgb_gamma=True, alpha_index=3,
+    )
+    mesh = row_mesh()
+    fn = make_sharded_avir_executor(plan, mesh)
+    flat = pad_rows(src.reshape(cfg["sh"], -1), 8)
+    out = np.asarray(fn(flat)).reshape(cfg["nh"], cfg["nw"], cfg["ch"])
+    ref = load_golden("a_rgba8gamma")
+    maxdiff = np.abs(out.astype(np.int64) - ref.astype(np.int64)).max()
+    assert maxdiff <= 1, maxdiff
+
+
+def test_all_gather_fallback():
+    """Tiny strips + wide band force the all-gather path."""
+    src = xorshift128_fill((16, 64, 3), np.uint8, 99)
+    plan = build_resize_plan(64, 16, 32, 8, 3, np.uint8, np.uint8)
+    svop = shard_v_op(plan.v.op, 8, 16)
+    assert svop.use_all_gather
+    mesh = row_mesh()
+    fn = make_sharded_avir_executor(plan, mesh)
+    out = np.asarray(fn(src.reshape(16, -1))).reshape(8, 32, 3)
+    single = avir_tpu.resize(src, 32, 8)
+    assert np.abs(out.astype(int) - single.astype(int)).max() <= 1
+
+
+def test_halo_path_used_and_matches_single():
+    """Enough rows that halos (not all-gather) are exercised."""
+    src = xorshift128_fill((256, 96, 3), np.uint8, 123)
+    plan = build_resize_plan(96, 256, 64, 160, 3, np.uint8, np.uint8)
+    svop = shard_v_op(plan.v.op, 8, 256)
+    assert not svop.use_all_gather
+    assert svop.halo_lo > 0 or svop.halo_hi > 0
+    mesh = row_mesh()
+    fn = make_sharded_avir_executor(plan, mesh)
+    out = np.asarray(fn(src.reshape(256, -1))).reshape(160, 64, 3)
+    single = avir_tpu.resize(src, 64, 160)
+    assert np.abs(out.astype(int) - single.astype(int)).max() <= 1
+
+
+def test_batch_dp_plus_rows_sp():
+    """2-D mesh: batch data-parallel x row sharding."""
+    mesh = jax.make_mesh((2, 4), ("dp", "sp"))
+    rng = np.random.default_rng(0)
+    batch = rng.integers(0, 256, (4, 64, 48, 3), dtype=np.uint8)
+    plan = build_resize_plan(48, 64, 24, 32, 3, np.uint8, np.uint8)
+    fn = make_sharded_avir_executor(
+        plan, mesh, rows_axis="sp", batch_axis="dp"
+    )
+    out = np.asarray(fn(batch.reshape(4, 64, -1)))
+    assert out.shape == (4, 32, 24 * 3)
+    for i in range(4):
+        single = avir_tpu.resize(batch[i], 24, 32)
+        got = out[i].reshape(32, 24, 3)
+        assert np.abs(got.astype(int) - single.astype(int)).max() <= 1
