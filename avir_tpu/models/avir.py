@@ -62,15 +62,19 @@ class ImageResizer:
         alpha_index: int = -1,
         dither: str = "default",
         build_mode: int = -1,
-        fast: bool = False,
+        precision: str = "auto",
     ) -> np.ndarray:
         """Resize ``src`` ([H, W, C] or [H, W]) to new_w x new_h.
 
         ``k``: 0 = auto per-axis scale with centering; >0 = uniform scale
         with centering; <0 = |k| without centering (avir.h:4709-4736).
         ``ox``/``oy``: sub-pixel shift in source pixels.
-        ``dither``: "default" (round+clamp) or "errdiff" (error
-        diffusion).  Returns a NumPy array in the output dtype.
+        ``dither``: "default" (round+clamp), "errdiff" (error
+        diffusion, device pipeline + native host scan) or
+        "errdiff-device" (fully on-device lax.scan version; slow for
+        large images — the recurrence is serial, as in the reference's
+        single-threaded dither stage, avir.h:5047-5068).
+        Returns a NumPy array in the output dtype.
         """
         src = np.asarray(src)
         squeeze = src.ndim == 2
@@ -90,8 +94,10 @@ class ImageResizer:
         key = (
             sw, sh, new_w, new_h, ch, src.dtype.str, out_dtype.str,
             k, ox, oy, use_srgb_gamma, alpha_index, dither, build_mode,
-            fast,
+            precision,
         )
+
+        host_errdiff = dither == "errdiff" and out_dtype.kind != "f"
 
         def build():
             plan = build_resize_plan(
@@ -103,9 +109,29 @@ class ImageResizer:
                 alpha_index=alpha_index,
                 build_mode=build_mode,
             )
-            return make_avir_executor(
-                plan, errdiff=(dither == "errdiff"), fast=fast
+            fn = make_avir_executor(
+                plan,
+                errdiff=(dither == "errdiff-device"),
+                precision=precision,
+                return_predither=host_errdiff,
             )
+            if not host_errdiff:
+                return fn
+
+            from .. import native
+
+            out_bits = 8 if out_dtype.itemsize == 1 else 16
+            out_max = float((1 << out_bits) - 1)
+            trunc_bits = out_bits - self.res_bit_depth
+
+            def run(x):
+                pre = np.asarray(fn(x), dtype=np.float64)
+                dithered = native.errdiff_dither(
+                    pre, trunc_bits, out_max
+                )
+                return dithered.astype(out_dtype)
+
+            return run
 
         out = np.asarray(self._executor(key, build)(src))
         return out[:, :, 0] if squeeze else out

@@ -32,7 +32,7 @@ class LancIR:
         oy: float = 0.0,
         la: float = 3.0,
         out_dtype=None,
-        fast: bool = False,
+        precision: str = "auto",
     ) -> np.ndarray:
         """Lanczos resize of ``src`` ([H, W, C] or [H, W]).
 
@@ -53,7 +53,7 @@ class LancIR:
 
         key = (
             sw, sh, new_w, new_h, ch, src.dtype.str, out_dtype.str,
-            kx, ky, ox, oy, la, fast,
+            kx, ky, ox, oy, la, precision,
         )
         with self._lock:
             fn = self._cache.get(key)
@@ -62,7 +62,7 @@ class LancIR:
                     sw, sh, new_w, new_h, ch, src.dtype, out_dtype,
                     kx=kx, ky=ky, ox=ox, oy=oy, la=la,
                 )
-                fn = make_lancir_executor(plan, fast=fast)
+                fn = make_lancir_executor(plan, precision=precision)
                 self._cache[key] = fn
         out = np.asarray(fn(src))
         return out[:, :, 0] if squeeze else out

@@ -7,15 +7,18 @@ elementwise stages into the matmuls' prologue/epilogue, which is the TPU
 equivalent of the reference's fused packScanline/doResize/unpackScanline
 scanline walks (/root/reference/avir.h:6522-6619).
 
-Precision: taps and accumulation are float32 (``Precision.HIGHEST``), the
-same arithmetic width as the reference's default ``fptype=float``
-(/root/reference/avir.h:4603).  A ``fast=True`` mode drops to bf16 MXU
-passes for ~2x matmul throughput at reduced (still >50 dB) fidelity.
+Precision tiers (see ops/banded.py for the split-bf16 scheme):
+  - "auto" (default): error-free bf16 splitting — 2 MXU passes when the
+    pass input is exact in bf16 (8-bit integers, no gamma), 3 otherwise.
+    Matches the reference's default float32 arithmetic
+    (/root/reference/avir.h:4603) at integer-output tolerances.
+  - "exact": full float32 accumulation (Precision.HIGHEST, 6 passes).
+  - "fast": single-bf16 everywhere (2 passes, ~50 dB vs exact) for
+    throughput-over-fidelity uses.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax
@@ -35,6 +38,20 @@ def _out_dtype(is_float: bool, type_max: float):
     return jnp.uint8 if type_max == 255.0 else jnp.uint16
 
 
+def resolve_modes(
+    precision: str, first_input_exact_bf16: bool
+) -> tuple[str, str]:
+    """(first_pass_mode, second_pass_mode) for a precision tier."""
+    if precision == "exact":
+        return "exact", "exact"
+    if precision == "fast":
+        return "split2", "split2"
+    if precision == "auto":
+        first = "split2" if first_input_exact_bf16 else "split3"
+        return first, "split3"
+    raise ValueError(f"unknown precision {precision!r}")
+
+
 def _separable_pass(
     x: jax.Array,
     hop: BlockedBandedOp,
@@ -42,34 +59,46 @@ def _separable_pass(
     h: int,
     w: int,
     c: int,
-    precision,
+    mode_first: str,
+    mode_second: str,
 ) -> jax.Array:
     """[H, W, C] float32 → [new_h, new_w, C]: H pass then V pass, each a
     blocked matmul over the leading axis with the other axes flattened
     into the 128-lane dimension."""
     new_w, new_h = hop.n_out, vop.n_out
     x = x.transpose(1, 0, 2).reshape(w, h * c)
-    x = apply_blocked(hop, x, precision)  # [new_w, H*C]
+    x = apply_blocked(hop, x, mode_first)  # [new_w, H*C]
     x = x.reshape(new_w, h, c).transpose(1, 0, 2).reshape(h, new_w * c)
-    x = apply_blocked(vop, x, precision)  # [new_h, new_w*C]
+    x = apply_blocked(vop, x, mode_second)  # [new_h, new_w*C]
     return x.reshape(new_h, new_w, c)
 
 
 def make_avir_executor(
     plan: ResizePlan,
     errdiff: bool = False,
-    fast: bool = False,
+    precision: str = "auto",
     tile: int | None = None,
+    return_predither: bool = False,
 ) -> Callable[[jax.Array], jax.Array]:
     """Compile a ResizePlan into a jitted [H, W, C] -> [new_h, new_w, C]
-    resize function."""
+    resize function.
+
+    ``return_predither=True`` skips the device dither/unpack and returns
+    the float32 image (after gamma-out) so a host-side ditherer — e.g.
+    the native error-diffusion scan, which is serial by nature — can
+    finish the job (cf. the reference's single-threaded dither stage,
+    avir.h:5047-5068)."""
     hop = block_banded(plan.h.op, tile=tile)
     vop = block_banded(plan.v.op, tile=tile)
-    precision = (
-        jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
-    )
     h, w, c = plan.src_h, plan.src_w, plan.el_count
     out_dt = _out_dtype(plan.is_out_float, plan.out_type_max)
+
+    in_exact_bf16 = (
+        not plan.is_in_float
+        and plan.in_type_max == 255.0
+        and not plan.use_srgb_gamma
+    )
+    mode1, mode2 = resolve_modes(precision, in_exact_bf16)
 
     out_bits = 8 if plan.out_type_max == 255.0 else 16
     trunc_bits = 0 if plan.is_out_float else out_bits - plan.res_bit_depth
@@ -81,12 +110,12 @@ def make_avir_executor(
             x = srgb_to_linear_jnp(
                 x * jnp.float32(plan.in_gamma_mult), plan.alpha_index
             )
-        x = _separable_pass(x, hop, vop, h, w, c, precision)
+        x = _separable_pass(x, hop, vop, h, w, c, mode1, mode2)
         if plan.use_srgb_gamma:
             x = linear_to_srgb_jnp(x, plan.alpha_index)
             if plan.out_gamma_mult != 0.0:
                 x = x * jnp.float32(plan.out_gamma_mult)
-        if plan.is_out_float:
+        if plan.is_out_float or return_predither:
             return x
         if errdiff:
             x = errdiff_dither_jnp(x, trunc_bits, plan.out_type_max)
@@ -99,7 +128,7 @@ def make_avir_executor(
 
 def make_lancir_executor(
     plan: LancirPlan,
-    fast: bool = False,
+    precision: str = "auto",
     tile: int | None = None,
 ) -> Callable[[jax.Array], jax.Array]:
     """Compile a LancirPlan into a jitted resize function.
@@ -109,16 +138,16 @@ def make_lancir_executor(
     """
     hop = block_banded(plan.h, tile=tile)
     vop = block_banded(plan.v, tile=tile)
-    precision = (
-        jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
-    )
     h, w, c = plan.src_h, plan.src_w, plan.el_count
     out_dt = _out_dtype(plan.is_out_float, plan.clamp)
+
+    in_exact_bf16 = plan.in_exact_bf16
+    mode1, mode2 = resolve_modes(precision, in_exact_bf16)
 
     @jax.jit
     def run(src: jax.Array) -> jax.Array:
         x = src.reshape(h, w, c).astype(jnp.float32)
-        x = _separable_pass(x, hop, vop, h, w, c, precision)
+        x = _separable_pass(x, hop, vop, h, w, c, mode1, mode2)
         if plan.out_mul != 1.0:
             x = x * jnp.float32(plan.out_mul)
         if plan.is_out_float:

@@ -14,8 +14,23 @@ pointer-walking per-scanline kernels (doFilter/doResize/doUpsample,
 /root/reference/avir.h:3249-4331) — there is no per-pixel gather on
 device, only a blockwise contiguous window fetch plus MXU work.
 
-Everything here is shape-static: offsets, window sizes and tap tensors are
-baked at plan time, so the resize function is traced once per
+Precision strategy (the TPU analog of the reference's float4/float8 SIMD
+classes, avir_float4_sse.h / avir_float8_avx.h): the MXU multiplies
+bf16 natively, so float32-accurate results come from error-free
+splitting rather than slow full-f32 passes:
+
+  - taps split as A = A_hi + A_lo (two bf16 matrices carrying ~16
+    mantissa bits together);
+  - 8-bit images are EXACT in bf16 (integers <= 256), so u8 pipelines
+    need only 2 MXU passes (A_hi@x + A_lo@x);
+  - wider values split as x = x_hi + x_lo, and the negligible
+    A_lo@x_lo term (~2^-18 relative) is dropped: 3 passes.
+
+``mode='exact'`` falls back to full float32 (Precision.HIGHEST, 6
+passes) for verification.
+
+Everything here is shape-static: offsets, window sizes and tap tensors
+are baked at plan time, so the resize function is traced once per
 (geometry, params) and cached by jit.
 """
 
@@ -66,8 +81,10 @@ class BlockedBandedOp:
     n_in_pad: int  # input rows after zero-pad (>= offs.max() + win)
     tile: int
     win: int
-    offs: jax.Array  # int32 [n_blocks] — input window starts
-    taps: jax.Array  # f32 [n_blocks, tile, win]
+    offs: jax.Array      # int32 [n_blocks] — input window starts
+    taps: jax.Array      # f32 [n_blocks, tile, win]
+    taps_hi: jax.Array   # bf16 — round(taps)
+    taps_lo: jax.Array   # bf16 — round(taps - taps_hi)
 
     @property
     def n_blocks(self) -> int:
@@ -81,7 +98,6 @@ class BlockedBandedOp:
 def block_banded(
     op: BandedOp,
     tile: int | None = None,
-    dtype=jnp.float32,
     lane_align: int = 128,
 ) -> BlockedBandedOp:
     """Lower a BandedOp to its blocked dense-matmul form."""
@@ -112,6 +128,9 @@ def block_banded(
     for j in range(width):
         dense[b_of, r_of, col0 + j] = op.taps[:, j]
 
+    taps = jnp.asarray(dense)
+    taps_hi = taps.astype(jnp.bfloat16)
+    taps_lo = (taps - taps_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return BlockedBandedOp(
         n_in=op.n_in,
         n_out=n_out,
@@ -119,29 +138,58 @@ def block_banded(
         tile=tile,
         win=win,
         offs=jnp.asarray(offs, dtype=jnp.int32),
-        taps=jnp.asarray(dense, dtype=dtype),
+        taps=taps,
+        taps_hi=taps_hi,
+        taps_lo=taps_lo,
+    )
+
+
+def _bmm(a: jax.Array, b: jax.Array, precision=None) -> jax.Array:
+    return jax.lax.dot_general(
+        a,
+        b,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        precision=precision,
+        preferred_element_type=jnp.float32,
     )
 
 
 def apply_blocked(
     bop: BlockedBandedOp,
     x: jax.Array,
-    precision=jax.lax.Precision.HIGHEST,
+    mode: str = "exact",
 ) -> jax.Array:
-    """Apply the operator along axis 0 of ``x`` ([n_in, R] -> [n_out, R])."""
+    """Apply the operator along axis 0 of ``x`` ([n_in, R] -> [n_out, R]).
+
+    mode: 'exact' (float32, Precision.HIGHEST), 'split2' (bf16 split
+    taps, image cast to bf16 — only for values exactly representable in
+    bf16, e.g. 8-bit integers), 'split3' (bf16 split taps AND split
+    image).
+    """
     r = x.shape[1]
     if bop.n_in_pad > x.shape[0]:
         x = jnp.pad(x, ((0, bop.n_in_pad - x.shape[0]), (0, 0)))
-    # [n_blocks, win, R] contiguous window fetch (static indices).
     idx = bop.offs[:, None] + jnp.arange(bop.win, dtype=jnp.int32)[None, :]
     xw = jnp.take(x, idx.reshape(-1), axis=0).reshape(
         bop.n_blocks, bop.win, r
     )
-    y = jax.lax.dot_general(
-        bop.taps,
-        xw,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        precision=precision,
-        preferred_element_type=jnp.float32,
-    )  # [n_blocks, tile, R]
+    if mode == "exact":
+        y = _bmm(bop.taps, xw, jax.lax.Precision.HIGHEST)
+    elif mode == "split2":
+        xwb = xw.astype(jnp.bfloat16)
+        y = _bmm(bop.taps_hi, xwb) + _bmm(bop.taps_lo, xwb)
+    elif mode == "split3":
+        xwh = xw.astype(jnp.bfloat16)
+        # The barrier stops XLA's excess-precision simplifier from
+        # collapsing f32(bf16(x)) back to x, which would zero the
+        # residual and silently degrade to single-bf16 accuracy.
+        xwh_b = jax.lax.optimization_barrier(xwh)
+        xwl = (xw - xwh_b.astype(jnp.float32)).astype(jnp.bfloat16)
+        y = (
+            _bmm(bop.taps_hi, xwh)
+            + _bmm(bop.taps_lo, xwh)
+            + _bmm(bop.taps_hi, xwl)
+        )
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
     return y.reshape(bop.n_blocks * bop.tile, r)[: bop.n_out]

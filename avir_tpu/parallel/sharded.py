@@ -179,7 +179,7 @@ def make_sharded_avir_executor(
     mesh: Mesh,
     rows_axis: str = "sp",
     batch_axis: Optional[str] = None,
-    fast: bool = False,
+    precision: str = "exact",
     tile: int = 64,
 ) -> Callable[[jax.Array], jax.Array]:
     """Compile a ResizePlan into a sharded executor over ``mesh``.
@@ -195,8 +195,9 @@ def make_sharded_avir_executor(
     and lives only on the single-chip path.
     """
     n_dev = mesh.shape[rows_axis]
-    precision = (
-        jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
+    mode = "split2" if precision == "fast" else "exact"
+    dot_precision = (
+        None if precision == "fast" else jax.lax.Precision.HIGHEST
     )
     h, w, c = plan.src_h, plan.src_w, plan.el_count
     new_w, new_h = plan.new_w, plan.new_h
@@ -234,7 +235,7 @@ def make_sharded_avir_executor(
         x = x.reshape(strip, w, c).transpose(1, 0, 2).reshape(
             w, strip * c
         )
-        x = apply_blocked(hop, x, precision)  # [new_w, strip*c]
+        x = apply_blocked(hop, x, mode)  # [new_w, strip*c]
         x = (
             x.reshape(new_w, strip, c)
             .transpose(1, 0, 2)
@@ -262,7 +263,7 @@ def make_sharded_avir_executor(
             ext = jnp.pad(ext, ((0, need - ext.shape[0]), (0, 0)))
 
         # --- V pass: local blocked matmul -----------------------------
-        y = _apply_local_blocked(ext, v_offs, v_taps, precision)
+        y = _apply_local_blocked(ext, v_offs, v_taps, dot_precision)
         y = y[: svop.m]  # [m, new_w*c]
 
         # --- output conditioning --------------------------------------

@@ -32,6 +32,7 @@ class LancirPlan:
     is_out_float: bool
     out_mul: float
     clamp: float
+    in_exact_bf16: bool  # input values exactly representable in bf16
 
 
 def _axis_op(src_len: int, new_len: int, k: float, o: float, la: float) -> BandedOp:
@@ -99,6 +100,7 @@ def build_lancir_plan(
     )
 
     return LancirPlan(
+        in_exact_bf16=(not is_in_float) and in_dtype.itemsize == 1,
         h=_axis_op(src_w, new_w, kx, ox, la),
         v=_axis_op(src_h, new_h, ky, oy, la),
         src_w=src_w,

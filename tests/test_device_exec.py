@@ -92,5 +92,5 @@ def test_fast_mode_quality():
         (cfg["sh"], cfg["sw"], cfg["ch"]), np.uint8, cfg["seed"]
     )
     exact = avir_tpu.resize(src, cfg["nw"], cfg["nh"])
-    fastv = avir_tpu.resize(src, cfg["nw"], cfg["nh"], fast=True)
+    fastv = avir_tpu.resize(src, cfg["nw"], cfg["nh"], precision="fast")
     assert psnr(exact, fastv, 255.0) >= 50.0
