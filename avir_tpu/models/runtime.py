@@ -62,10 +62,26 @@ def _separable_pass(
     mode_first: str,
     mode_second: str,
 ) -> jax.Array:
-    """[H, W, C] float32 → [new_h, new_w, C]: H pass then V pass, each a
-    blocked matmul over the leading axis with the other axes flattened
-    into the 128-lane dimension."""
+    """[H, W, C] float32 → [new_h, new_w, C]: two blocked matmuls over
+    the leading axis with the other axes flattened into the 128-lane
+    dimension.
+
+    Pass order is chosen to transpose the SMALLER representation: the
+    vertical pass runs directly on the [H, W*C] layout (no transpose),
+    so running the axis that shrinks the image first minimizes the
+    bytes moved by the one unavoidable transpose between passes.  The
+    passes are linear operators on separate axes, so they commute
+    exactly (the reference hard-codes H-then-V, avir.h:4861-5000)."""
     new_w, new_h = hop.n_out, vop.n_out
+    v_first = new_h * w <= h * new_w
+    if v_first:
+        x = x.reshape(h, w * c)
+        x = apply_blocked(vop, x, mode_first)  # [new_h, W*C]
+        x = x.reshape(new_h, w, c).transpose(1, 0, 2).reshape(
+            w, new_h * c
+        )
+        x = apply_blocked(hop, x, mode_second)  # [new_w, new_h*C]
+        return x.reshape(new_w, new_h, c).transpose(1, 0, 2)
     x = x.transpose(1, 0, 2).reshape(w, h * c)
     x = apply_blocked(hop, x, mode_first)  # [new_w, H*C]
     x = x.reshape(new_w, h, c).transpose(1, 0, 2).reshape(h, new_w * c)

@@ -1,0 +1,75 @@
+"""FR/DR/PE property tests (frtest methodology, SURVEY.md §4).
+
+Asserts the reference's published quality characteristics
+(/root/reference/README.md:378-404) on the TPU pipeline:
+  - AVIR's frequency response is flat through the passband;
+  - two-way-resize dynamic range is high at low frequencies and
+    degrades toward Nyquist (aliasing-limited);
+  - AVIR's round-trip dynamic range beats Lanczos-3 (LANCIR) at low
+    frequencies.
+Sizes are reduced vs the reference harness (16384x12, 128 freqs) to
+keep CI fast; the avir_tpu.metrology API exposes the full-size sweep.
+"""
+
+import numpy as np
+import pytest
+
+from avir_tpu.metrology import fr_dr_pe_at, k_sweep, make_grating, measure
+
+
+@pytest.fixture(scope="module")
+def avir_up():
+    return measure(
+        algo="avir", upsample=True, n_freqs=6, src_w=2048, k_step=0.7
+    )
+
+
+@pytest.fixture(scope="module")
+def lancir_up():
+    return measure(
+        algo="lancir", upsample=True, n_freqs=6, src_w=2048, k_step=0.7
+    )
+
+
+def test_avir_fr_flat_passband(avir_up):
+    passband = avir_up[avir_up[:, 0] <= 0.6]
+    assert len(passband) >= 4
+    assert np.abs(passband[:, 1]).max() <= 0.15, passband
+
+
+def test_avir_dr_high_at_low_freq(avir_up):
+    low = avir_up[avir_up[:, 0] <= 0.1]
+    assert (low[:, 2] <= -70.0).all(), low
+    assert (low[:, 3] <= -55.0).all(), low
+
+
+def test_avir_dr_degrades_toward_nyquist(avir_up):
+    assert avir_up[-1, 2] > avir_up[0, 2] + 20.0
+
+
+def test_avir_beats_lancir_dr(avir_up, lancir_up):
+    low_a = avir_up[avir_up[:, 0] <= 0.2][:, 2]
+    low_l = lancir_up[lancir_up[:, 0] <= 0.2][:, 2]
+    assert (low_a <= low_l - 8.0).all(), (low_a, low_l)
+
+
+def test_downsample_dr():
+    t = measure(
+        algo="avir", upsample=False, n_freqs=3, src_w=2048, k_step=0.7,
+        size_coeff=0.4,
+    )
+    low = t[t[:, 0] <= 0.1]
+    assert (low[:, 2] <= -60.0).all(), t
+
+
+def test_grating_properties():
+    g = make_grating(512, 4, np.pi * 0.25)
+    assert abs(float(g.mean())) < 1e-6
+    assert abs(float((g.astype(np.float64) ** 2).mean()) - 1.0) < 1e-6
+
+
+def test_k_sweep_matches_reference():
+    ks = k_sweep(0.3, 0.95, True)
+    assert ks[0] == 1.0
+    assert all(k > 0.3 for k in ks)
+    assert len(ks) == 24  # 0.95**23 > 0.3 > 0.95**24
