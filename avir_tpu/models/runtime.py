@@ -32,6 +32,23 @@ from ..plan.lancir_plan import LancirPlan
 from ..plan.plan import ResizePlan
 
 
+def _use_pallas(engine: str) -> bool:
+    """Pallas kernels need a real TPU backend (Mosaic); XLA otherwise."""
+    if engine == "xla":
+        return False
+    if engine == "pallas":
+        return True
+    return jax.default_backend() not in ("cpu", "gpu")
+
+
+def _apply(bop: BlockedBandedOp, x, mode: str, pallas: bool):
+    if pallas and mode in ("split2", "split3"):
+        from ..ops.pallas.banded_kernel import apply_blocked_pallas
+
+        return apply_blocked_pallas(bop, x, mode)
+    return apply_blocked(bop, x, mode)
+
+
 def _out_dtype(is_float: bool, type_max: float):
     if is_float:
         return jnp.float32
@@ -61,6 +78,7 @@ def _separable_pass(
     c: int,
     mode_first: str,
     mode_second: str,
+    pallas: bool = False,
 ) -> jax.Array:
     """[H, W, C] float32 → [new_h, new_w, C]: two blocked matmuls over
     the leading axis with the other axes flattened into the 128-lane
@@ -76,16 +94,16 @@ def _separable_pass(
     v_first = new_h * w <= h * new_w
     if v_first:
         x = x.reshape(h, w * c)
-        x = apply_blocked(vop, x, mode_first)  # [new_h, W*C]
+        x = _apply(vop, x, mode_first, pallas)  # [new_h, W*C]
         x = x.reshape(new_h, w, c).transpose(1, 0, 2).reshape(
             w, new_h * c
         )
-        x = apply_blocked(hop, x, mode_second)  # [new_w, new_h*C]
+        x = _apply(hop, x, mode_second, pallas)  # [new_w, new_h*C]
         return x.reshape(new_w, new_h, c).transpose(1, 0, 2)
     x = x.transpose(1, 0, 2).reshape(w, h * c)
-    x = apply_blocked(hop, x, mode_first)  # [new_w, H*C]
+    x = _apply(hop, x, mode_first, pallas)  # [new_w, H*C]
     x = x.reshape(new_w, h, c).transpose(1, 0, 2).reshape(h, new_w * c)
-    x = apply_blocked(vop, x, mode_second)  # [new_h, new_w*C]
+    x = _apply(vop, x, mode_second, pallas)  # [new_h, new_w*C]
     return x.reshape(new_h, new_w, c)
 
 
@@ -95,6 +113,7 @@ def make_avir_executor(
     precision: str = "auto",
     tile: int | None = None,
     return_predither: bool = False,
+    engine: str = "auto",
 ) -> Callable[[jax.Array], jax.Array]:
     """Compile a ResizePlan into a jitted [H, W, C] -> [new_h, new_w, C]
     resize function.
@@ -106,6 +125,7 @@ def make_avir_executor(
     avir.h:5047-5068)."""
     hop = block_banded(plan.h.op, tile=tile)
     vop = block_banded(plan.v.op, tile=tile)
+    pallas = _use_pallas(engine)
     h, w, c = plan.src_h, plan.src_w, plan.el_count
     out_dt = _out_dtype(plan.is_out_float, plan.out_type_max)
 
@@ -126,7 +146,7 @@ def make_avir_executor(
             x = srgb_to_linear_jnp(
                 x * jnp.float32(plan.in_gamma_mult), plan.alpha_index
             )
-        x = _separable_pass(x, hop, vop, h, w, c, mode1, mode2)
+        x = _separable_pass(x, hop, vop, h, w, c, mode1, mode2, pallas)
         if plan.use_srgb_gamma:
             x = linear_to_srgb_jnp(x, plan.alpha_index)
             if plan.out_gamma_mult != 0.0:
@@ -146,6 +166,7 @@ def make_lancir_executor(
     plan: LancirPlan,
     precision: str = "auto",
     tile: int | None = None,
+    engine: str = "auto",
 ) -> Callable[[jax.Array], jax.Array]:
     """Compile a LancirPlan into a jitted resize function.
 
@@ -154,6 +175,7 @@ def make_lancir_executor(
     """
     hop = block_banded(plan.h, tile=tile)
     vop = block_banded(plan.v, tile=tile)
+    pallas = _use_pallas(engine)
     h, w, c = plan.src_h, plan.src_w, plan.el_count
     out_dt = _out_dtype(plan.is_out_float, plan.clamp)
 
@@ -163,7 +185,7 @@ def make_lancir_executor(
     @jax.jit
     def run(src: jax.Array) -> jax.Array:
         x = src.reshape(h, w, c).astype(jnp.float32)
-        x = _separable_pass(x, hop, vop, h, w, c, mode1, mode2)
+        x = _separable_pass(x, hop, vop, h, w, c, mode1, mode2, pallas)
         if plan.out_mul != 1.0:
             x = x * jnp.float32(plan.out_mul)
         if plan.is_out_float:

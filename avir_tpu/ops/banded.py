@@ -112,8 +112,11 @@ def block_banded(
     for b in range(n_blocks):
         lo = b * tile
         hi = min(lo + tile, n_out)
-        offs[b] = starts[lo]
-        spans[b] = starts[hi - 1] + width - starts[lo]
+        # Align window starts to the coarsest sublane tiling (32 rows,
+        # u8) so the Pallas kernel's element-offset windows satisfy
+        # Mosaic's divisibility requirement.
+        offs[b] = (starts[lo] // 32) * 32
+        spans[b] = starts[hi - 1] + width - offs[b]
     win = _round_up(int(spans.max()), lane_align)
 
     # Zero-pad the input so every window is in range; taps there are zero
