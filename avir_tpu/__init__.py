@@ -27,6 +27,7 @@ from .params import (
 )
 from .models.avir import ImageResizer, resize
 from .models.lancir import LancIR, lancir_resize
+from . import metrology, native
 
 __version__ = "0.1.0"
 
@@ -43,4 +44,6 @@ __all__ = [
     "resize",
     "LancIR",
     "lancir_resize",
+    "metrology",
+    "native",
 ]

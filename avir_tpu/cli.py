@@ -142,6 +142,56 @@ def run_one(src: np.ndarray, new_w: int, new_h: int, args) -> np.ndarray:
     return out
 
 
+def crop_for_aspect(
+    src: np.ndarray, nw: int, nh: int, align: str
+) -> np.ndarray:
+    """Crop the input to the output aspect ratio with 0/1/2 (start/
+    center/end) per-axis alignment, matching the reference tool's
+    --crop semantics (binary usage strings)."""
+    if len(align) != 2 or any(ch not in "012" for ch in align):
+        raise SystemExit(f"invalid --crop {align!r} (two digits 0/1/2)")
+    ax, ay = int(align[0]), int(align[1])
+    sh, sw = src.shape[:2]
+    target = nw / nh
+    if sw / sh > target:  # too wide: crop width
+        cw = max(1, round(sh * target))
+        off = {0: 0, 1: (sw - cw) // 2, 2: sw - cw}[ax]
+        return src[:, off : off + cw]
+    ch_ = max(1, round(sw / target))
+    off = {0: 0, 1: (sh - ch_) // 2, 2: sh - ch_}[ay]
+    return src[off : off + ch_]
+
+
+def add_reflection(img: np.ndarray, spec: str) -> np.ndarray:
+    """Append a vertically-flipped, alpha-faded reflection below the
+    image (reference tool's HEIGHT*ALPHA1[*ALPHA2] effect; 8-bit only).
+    Alpha-channel images fade via alpha; opaque images fade to black."""
+    parts = spec.split("*")
+    if len(parts) not in (2, 3):
+        raise SystemExit(f"invalid --reflection {spec!r}")
+    try:
+        height = int(parts[0])
+        a1 = float(parts[1])
+        a2 = float(parts[2]) if len(parts) == 3 else 0.0
+    except ValueError:
+        raise SystemExit(f"invalid --reflection {spec!r}")
+    if img.dtype != np.uint8:
+        raise SystemExit("--reflection supports 8-bit images only")
+    height = min(height, img.shape[0])
+    if height <= 0:
+        return img
+    refl = img[-height:][::-1].astype(np.float64)
+    ramp = np.linspace(a1, a2, height)[:, None]
+    ch = img.shape[2]
+    if ch in (2, 4):
+        refl[:, :, -1] *= ramp
+    else:
+        refl *= ramp[:, :, None]
+    return np.concatenate(
+        [img, np.clip(np.rint(refl), 0, 255).astype(np.uint8)], axis=0
+    )
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="avir-imageresize",
@@ -193,6 +243,22 @@ def main(argv=None) -> int:
         help="flush RGB to zero where alpha < value (1..255)",
     )
     ap.add_argument(
+        "--crop", default=None,
+        help="two digits (0/1/2 each) for horizontal/vertical alignment; "
+        'crops the input so the resize is proportional (e.g. "11" = '
+        "center-center); requires both --out-size values non-zero",
+    )
+    ap.add_argument(
+        "--fit", action="store_true",
+        help="resize proportionally to fit inside --out-size "
+        "(cannot be combined with --crop)",
+    )
+    ap.add_argument(
+        "--reflection", default=None,
+        help='HEIGHT*ALPHA1[*ALPHA2] reflection effect (e.g. "15*0.4"), '
+        "8-bit images only",
+    )
+    ap.add_argument(
         "--auto-scale", default=None,
         help='semicolon-delimited scale factors, e.g. "0.25;0.5;1.0"; '
         "suffixes output filenames and prints produced dimensions",
@@ -205,6 +271,9 @@ def main(argv=None) -> int:
 
     src = load_image(args.input)
     sh, sw = src.shape[:2]
+
+    if args.crop is not None and args.fit:
+        raise SystemExit("--crop cannot be used together with --fit")
 
     if args.auto_scale:
         scales = [float(s) for s in args.auto_scale.split(";") if s]
@@ -227,8 +296,22 @@ def main(argv=None) -> int:
 
     if not args.out_size:
         raise SystemExit("--out-size is required (e.g. --out-size=1024x768)")
-    nw, nh = resolve_size(*parse_size(args.out_size), sw, sh)
+    nw, nh = parse_size(args.out_size)
+    if args.crop is not None:
+        if nw == 0 or nh == 0:
+            raise SystemExit("--crop requires both --out-size values")
+        src = crop_for_aspect(src, nw, nh, args.crop)
+        sh, sw = src.shape[:2]
+    elif args.fit:
+        if nw == 0 or nh == 0:
+            raise SystemExit("--fit requires both --out-size values")
+        scale = min(nw / sw, nh / sh)
+        nw = max(1, round(sw * scale))
+        nh = max(1, round(sh * scale))
+    nw, nh = resolve_size(nw, nh, sw, sh)
     out = run_one(src, nw, nh, args)
+    if args.reflection:
+        out = add_reflection(out, args.reflection)
     save_image(args.output, out, args.out_quality, args.jpeg_low_cs)
     return 0
 

@@ -34,10 +34,12 @@ class ImageResizer:
         res_bit_depth: int = 8,
         src_bit_depth: int = 0,
         params: Params = PARAMS_DEF,
+        plan_cache: bool = False,
     ):
         self.res_bit_depth = res_bit_depth
         self.src_bit_depth = src_bit_depth
         self.params = params
+        self.plan_cache = plan_cache
         self._cache: dict = {}
         self._lock = threading.Lock()
 
@@ -100,8 +102,9 @@ class ImageResizer:
         host_errdiff = dither == "errdiff" and out_dtype.kind != "f"
 
         def build():
-            plan = build_resize_plan(
-                sw, sh, new_w, new_h, ch, src.dtype, out_dtype,
+            plan_kwargs = dict(
+                src_w=sw, src_h=sh, new_w=new_w, new_h=new_h,
+                el_count=ch, in_dtype=src.dtype, out_dtype=out_dtype,
                 k=k, ox=ox, oy=oy, params=self.params,
                 res_bit_depth=self.res_bit_depth,
                 src_bit_depth=self.src_bit_depth,
@@ -109,6 +112,12 @@ class ImageResizer:
                 alpha_index=alpha_index,
                 build_mode=build_mode,
             )
+            if self.plan_cache:
+                from ..plan.cache import build_resize_plan_cached
+
+                plan = build_resize_plan_cached(**plan_kwargs)
+            else:
+                plan = build_resize_plan(**plan_kwargs)
             fn = make_avir_executor(
                 plan,
                 errdiff=(dither == "errdiff-device"),
@@ -135,6 +144,59 @@ class ImageResizer:
 
         out = np.asarray(self._executor(key, build)(src))
         return out[:, :, 0] if squeeze else out
+
+
+    def resize_batch(
+        self,
+        batch: np.ndarray,
+        new_w: int,
+        new_h: int,
+        **kwargs,
+    ) -> np.ndarray:
+        """Resize a batch [N, H, W, C] of same-shape images in one
+        device program (vmapped pipeline) — the serving-path analog of
+        the reference's per-call reuse for video batching
+        (lancir.h:319-324).  Error-diffusion dithering falls back to
+        per-image host scans."""
+        import jax
+
+        batch = np.asarray(batch)
+        if batch.ndim != 4:
+            raise ValueError("batch must be [N, H, W, C]")
+        n, sh, sw, ch = batch.shape
+        if kwargs.get("dither") in ("errdiff",):
+            return np.stack(
+                [self.resize(im, new_w, new_h, **kwargs) for im in batch]
+            )
+        probe = batch[0]
+        key = ("batch", n, sw, sh, new_w, new_h, ch, batch.dtype.str,
+               tuple(sorted(kwargs.items())))
+
+        def build():
+            single = self._single_executor(probe, new_w, new_h, **kwargs)
+            return jax.jit(jax.vmap(single))
+
+        return np.asarray(self._executor(key, build)(batch))
+
+    def _single_executor(self, src, new_w, new_h, **kwargs):
+        """Build (uncached) the jitted single-image executor for the
+        config implied by (src, kwargs)."""
+        out_dtype = np.dtype(kwargs.get("out_dtype") or src.dtype)
+        plan = build_resize_plan(
+            src.shape[1], src.shape[0], new_w, new_h, src.shape[2],
+            src.dtype, out_dtype,
+            k=kwargs.get("k", 0.0), ox=kwargs.get("ox", 0.0),
+            oy=kwargs.get("oy", 0.0), params=self.params,
+            res_bit_depth=self.res_bit_depth,
+            src_bit_depth=self.src_bit_depth,
+            use_srgb_gamma=kwargs.get("use_srgb_gamma", False),
+            alpha_index=kwargs.get("alpha_index", -1),
+            build_mode=kwargs.get("build_mode", -1),
+        )
+        return make_avir_executor(
+            plan, precision=kwargs.get("precision", "auto"),
+            engine=kwargs.get("engine", "auto"),
+        )
 
 
 def resize(src: np.ndarray, new_w: int, new_h: int, **kwargs) -> np.ndarray:

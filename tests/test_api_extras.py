@@ -1,0 +1,51 @@
+"""Batch API and plan-cache tests."""
+
+import numpy as np
+
+import avir_tpu
+from avir_tpu.plan.cache import build_resize_plan_cached
+from avir_tpu.plan.plan import build_resize_plan
+
+from conftest import xorshift128_fill
+
+
+def test_resize_batch_matches_loop():
+    batch = np.stack(
+        [xorshift128_fill((40, 56, 3), np.uint8, 100 + i) for i in range(3)]
+    )
+    rz = avir_tpu.ImageResizer()
+    got = rz.resize_batch(batch, 28, 20)
+    assert got.shape == (3, 20, 28, 3)
+    for i in range(3):
+        single = rz.resize(batch[i], 28, 20)
+        assert np.abs(got[i].astype(int) - single.astype(int)).max() <= 1
+
+
+def test_plan_cache_roundtrip(tmp_path):
+    kwargs = dict(
+        src_w=97, src_h=61, new_w=151, new_h=83, el_count=3,
+        in_dtype=np.uint8, out_dtype=np.uint8,
+    )
+    p1 = build_resize_plan_cached(cache_dir=tmp_path, **kwargs)
+    assert len(list(tmp_path.glob("plan_*.npz"))) == 1
+    p2 = build_resize_plan_cached(cache_dir=tmp_path, **kwargs)  # hit
+    ref = build_resize_plan(**kwargs)
+    for ax in ("h", "v"):
+        a, b, c = (
+            getattr(p1, ax).op, getattr(p2, ax).op, getattr(ref, ax).op
+        )
+        np.testing.assert_array_equal(b.starts, c.starts)
+        np.testing.assert_array_equal(b.taps, c.taps)
+        np.testing.assert_array_equal(a.taps, c.taps)
+        assert b.n_in == c.n_in and b.n_out == c.n_out
+
+
+def test_plan_cache_used_by_resizer(tmp_path, monkeypatch):
+    monkeypatch.setenv("AVIR_TPU_CACHE", str(tmp_path))
+    src = xorshift128_fill((40, 56, 3), np.uint8, 9)
+    rz = avir_tpu.ImageResizer(plan_cache=True)
+    out1 = rz.resize(src, 28, 20)
+    assert len(list(tmp_path.glob("plan_*.npz"))) == 1
+    rz2 = avir_tpu.ImageResizer(plan_cache=True)
+    out2 = rz2.resize(src, 28, 20)
+    np.testing.assert_array_equal(out1, out2)
