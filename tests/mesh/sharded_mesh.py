@@ -115,3 +115,12 @@ def test_batch_dp_plus_rows_sp():
         single = avir_tpu.resize(batch[i], 24, 32)
         got = out[i].reshape(32, 24, 3)
         assert np.abs(got.astype(int) - single.astype(int)).max() <= 1
+
+
+def test_multihost_mesh_helper():
+    from avir_tpu.parallel import multihost
+
+    mesh = multihost.make_dp_sp_mesh(sp=4)
+    assert mesh.shape["sp"] == 4 and mesh.shape["dp"] == 2
+    mesh_all = multihost.make_dp_sp_mesh()
+    assert mesh_all.shape["sp"] == 8 and mesh_all.shape["dp"] == 1
