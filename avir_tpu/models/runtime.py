@@ -49,6 +49,39 @@ def _apply(bop: BlockedBandedOp, x, mode: str, pallas: bool):
     return apply_blocked(bop, x, mode)
 
 
+def _separable_pass_lanes(
+    x: jax.Array,
+    vop: BlockedBandedOp,
+    lop,
+    h: int,
+    w: int,
+    c: int,
+    mode_first: str,
+    mode_second: str,
+) -> jax.Array:
+    """Transpose-free pipeline (Pallas engine): the vertical pass
+    contracts rows with the row-blocked kernel; the horizontal pass
+    contracts the interleaved lane axis with the lane-blocked kernel,
+    producing the final [new_h, new_w, C] layout directly.  Pass order
+    minimizes modeled MXU work."""
+    from ..ops.pallas.banded_kernel import apply_blocked_pallas
+    from ..ops.pallas.lanes_kernel import apply_lanes_pallas
+
+    new_h, new_w = vop.n_out, lop.n_out
+    x = x.reshape(h, w * c)
+    flops_v = vop.n_blocks * vop.tile * vop.win
+    flops_h = lop.n_blocks * lop.win * lop.tile * c * c
+    cost_vh = flops_v * w * c + flops_h * new_h
+    cost_hv = flops_h * h + flops_v * new_w * c
+    if cost_vh <= cost_hv:
+        x = apply_blocked_pallas(vop, x, mode_first)   # [new_h, w*c]
+        x = apply_lanes_pallas(lop, x, mode_second)    # [new_h, new_w*c]
+    else:
+        x = apply_lanes_pallas(lop, x, mode_first)     # [h, new_w*c]
+        x = apply_blocked_pallas(vop, x, mode_second)  # [new_h, new_w*c]
+    return x.reshape(new_h, new_w, c)
+
+
 def _out_dtype(is_float: bool, type_max: float):
     if is_float:
         return jnp.float32
@@ -127,6 +160,11 @@ def make_avir_executor(
     vop = block_banded(plan.v.op, tile=tile)
     pallas = _use_pallas(engine)
     h, w, c = plan.src_h, plan.src_w, plan.el_count
+    lop = None
+    if pallas:
+        from ..ops.lanes import lane_block_banded
+
+        lop = lane_block_banded(plan.h.op, c)
     out_dt = _out_dtype(plan.is_out_float, plan.out_type_max)
 
     in_exact_bf16 = (
@@ -146,7 +184,12 @@ def make_avir_executor(
             x = srgb_to_linear_jnp(
                 x * jnp.float32(plan.in_gamma_mult), plan.alpha_index
             )
-        x = _separable_pass(x, hop, vop, h, w, c, mode1, mode2, pallas)
+        if pallas and mode1 != "exact":
+            x = _separable_pass_lanes(x, vop, lop, h, w, c, mode1, mode2)
+        else:
+            x = _separable_pass(
+                x, hop, vop, h, w, c, mode1, mode2, pallas
+            )
         if plan.use_srgb_gamma:
             x = linear_to_srgb_jnp(x, plan.alpha_index)
             if plan.out_gamma_mult != 0.0:
@@ -177,6 +220,11 @@ def make_lancir_executor(
     vop = block_banded(plan.v, tile=tile)
     pallas = _use_pallas(engine)
     h, w, c = plan.src_h, plan.src_w, plan.el_count
+    lop = None
+    if pallas:
+        from ..ops.lanes import lane_block_banded
+
+        lop = lane_block_banded(plan.h, c)
     out_dt = _out_dtype(plan.is_out_float, plan.clamp)
 
     in_exact_bf16 = plan.in_exact_bf16
@@ -185,7 +233,12 @@ def make_lancir_executor(
     @jax.jit
     def run(src: jax.Array) -> jax.Array:
         x = src.reshape(h, w, c).astype(jnp.float32)
-        x = _separable_pass(x, hop, vop, h, w, c, mode1, mode2, pallas)
+        if pallas and mode1 != "exact":
+            x = _separable_pass_lanes(x, vop, lop, h, w, c, mode1, mode2)
+        else:
+            x = _separable_pass(
+                x, hop, vop, h, w, c, mode1, mode2, pallas
+            )
         if plan.out_mul != 1.0:
             x = x * jnp.float32(plan.out_mul)
         if plan.is_out_float:
