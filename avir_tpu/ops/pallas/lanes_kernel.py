@@ -43,12 +43,22 @@ def apply_lanes_pallas(
     x: jax.Array,
     mode: str = "split2",
     row_tile: int = 256,
+    interpret: bool = False,
 ) -> jax.Array:
     """[rows, n_in*C] -> [rows, n_out*C] f32, contracting the lane axis."""
     rows, lanes = x.shape
     assert lanes == lop.n_in * lop.c or lanes == lop.lanes_pad
     B, WC, TC = lop.taps_hi.shape
-    row_tile = min(row_tile, ((rows + 127) // 128) * 128)
+    # Prefer a row tile that divides the row count exactly (multiple of
+    # 8 sublanes) — avoids padding and slicing the row axis entirely.
+    best = 0
+    for cand in range(8, min(row_tile, rows) + 1, 8):
+        if rows % cand == 0:
+            best = cand
+    if best:
+        row_tile = best
+    else:
+        row_tile = min(row_tile, ((rows + 127) // 128) * 128)
     rows_pad = ((rows + row_tile - 1) // row_tile) * row_tile
     if rows_pad != rows or lop.lanes_pad > lanes:
         x = jnp.pad(
@@ -78,6 +88,7 @@ def apply_lanes_pallas(
         functools.partial(_kernel, mode=mode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((rows_pad, B * TC), jnp.float32),
+        interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * WC * TC * rows_pad
             * (3 if mode == "split3" else 2),

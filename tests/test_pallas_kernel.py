@@ -58,3 +58,32 @@ def test_lane_padding():
         apply_blocked_pallas(vop, jnp.asarray(x), "split2", interpret=True)
     )
     np.testing.assert_allclose(got, ref, atol=2e-2)
+
+
+def test_lanes_matches_transpose_route():
+    """Lane-side (right-multiply) form vs the transpose route."""
+    from avir_tpu.ops.lanes import lane_block_banded
+    from avir_tpu.ops.pallas.lanes_kernel import (
+        apply_lanes_pallas,
+        apply_lanes_xla,
+    )
+
+    plan = build_resize_plan(200, 150, 80, 60, 3, np.uint8, np.uint8)
+    hop_row = block_banded(plan.h.op)
+    lop = lane_block_banded(plan.h.op, 3)
+    x = xorshift128_fill((60, 200 * 3), np.uint8, 11).astype(np.float32)
+    xr = (
+        jnp.asarray(x)
+        .reshape(60, 200, 3)
+        .transpose(1, 0, 2)
+        .reshape(200, 180)
+    )
+    ref = np.asarray(apply_blocked(hop_row, xr, "exact"))
+    ref = ref.reshape(80, 60, 3).transpose(1, 0, 2).reshape(60, 240)
+    tol = np.abs(ref).max() * 1e-4
+    got = np.asarray(apply_lanes_xla(lop, jnp.asarray(x), "split2"))
+    np.testing.assert_allclose(got, ref, atol=tol)
+    got_p = np.asarray(
+        apply_lanes_pallas(lop, jnp.asarray(x), "split2", interpret=True)
+    )
+    np.testing.assert_allclose(got_p, ref, atol=tol)
