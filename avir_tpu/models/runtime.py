@@ -63,19 +63,26 @@ def _separable_pass_lanes(
     contracts rows with the row-blocked kernel; the horizontal pass
     contracts the interleaved lane axis with the lane-blocked kernel,
     producing the final [new_h, new_w, C] layout directly.  Pass order
-    minimizes modeled MXU work."""
+    minimizes modeled MXU work.
+
+    ``x`` is [h, w*c] and may be an INTEGER array: the first kernel
+    converts in VMEM, so the f32 source image is never materialized in
+    HBM (pack fusion, cf. packScanline avir.h:2777-2971)."""
     from ..ops.pallas.banded_kernel import apply_blocked_pallas
     from ..ops.pallas.lanes_kernel import apply_lanes_pallas
 
     new_h, new_w = vop.n_out, lop.n_out
-    x = x.reshape(h, w * c)
     flops_v = vop.n_blocks * vop.tile * vop.win
     flops_h = lop.n_blocks * lop.win * lop.tile * c * c
     cost_vh = flops_v * w * c + flops_h * new_h
     cost_hv = flops_h * h + flops_v * new_w * c
     if cost_vh <= cost_hv:
-        x = apply_blocked_pallas(vop, x, mode_first)   # [new_h, w*c]
-        x = apply_lanes_pallas(lop, x, mode_second)    # [new_h, new_w*c]
+        # Keep the V output unsliced ([blocks*tile, w*c], zero tail
+        # rows) — the lane kernel consumes any row count, and slicing
+        # the big intermediate costs an HBM round trip.
+        x = apply_blocked_pallas(vop, x, mode_first, full_rows=True)
+        x = apply_lanes_pallas(lop, x, mode_second)
+        x = x[:new_h]                                   # tiny slice
     else:
         x = apply_lanes_pallas(lop, x, mode_first)     # [h, new_w*c]
         x = apply_blocked_pallas(vop, x, mode_second)  # [new_h, new_w*c]
@@ -179,14 +186,21 @@ def make_avir_executor(
 
     @jax.jit
     def run(src: jax.Array) -> jax.Array:
-        x = src.reshape(h, w, c).astype(jnp.float32)
-        if plan.use_srgb_gamma:
-            x = srgb_to_linear_jnp(
-                x * jnp.float32(plan.in_gamma_mult), plan.alpha_index
-            )
         if pallas and mode1 != "exact":
+            if plan.use_srgb_gamma:
+                x = src.reshape(h, w, c).astype(jnp.float32)
+                x = srgb_to_linear_jnp(
+                    x * jnp.float32(plan.in_gamma_mult), plan.alpha_index
+                ).reshape(h, w * c)
+            else:
+                x = src.reshape(h, w * c)  # raw dtype; kernel converts
             x = _separable_pass_lanes(x, vop, lop, h, w, c, mode1, mode2)
         else:
+            x = src.reshape(h, w, c).astype(jnp.float32)
+            if plan.use_srgb_gamma:
+                x = srgb_to_linear_jnp(
+                    x * jnp.float32(plan.in_gamma_mult), plan.alpha_index
+                )
             x = _separable_pass(
                 x, hop, vop, h, w, c, mode1, mode2, pallas
             )
@@ -232,10 +246,11 @@ def make_lancir_executor(
 
     @jax.jit
     def run(src: jax.Array) -> jax.Array:
-        x = src.reshape(h, w, c).astype(jnp.float32)
         if pallas and mode1 != "exact":
+            x = src.reshape(h, w * c)  # raw dtype; kernel converts
             x = _separable_pass_lanes(x, vop, lop, h, w, c, mode1, mode2)
         else:
+            x = src.reshape(h, w, c).astype(jnp.float32)
             x = _separable_pass(
                 x, hop, vop, h, w, c, mode1, mode2, pallas
             )

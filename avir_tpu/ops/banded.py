@@ -119,9 +119,16 @@ def block_banded(
         spans[b] = starts[hi - 1] + width - offs[b]
     win = _round_up(int(spans.max()), lane_align)
 
-    # Zero-pad the input so every window is in range; taps there are zero
-    # (edge clamping was folded into the taps at compose time).
-    n_in_pad = max(op.n_in, int(offs.max()) + win)
+    # Pull overrunning tail windows left (32-aligned) so offs+win fits
+    # inside the input — padding an 8K source costs a full extra HBM
+    # copy.  Only possible when the widened spans still fit in win.
+    max_off = (op.n_in - win) // 32 * 32
+    if max_off >= 0 and int((spans + np.maximum(offs - max_off, 0)).max()) <= win:
+        shift = np.maximum(offs - max_off, 0)
+        offs -= shift
+        n_in_pad = op.n_in
+    else:
+        n_in_pad = max(op.n_in, int(offs.max()) + win)
 
     dense = np.zeros((n_blocks, tile, win), dtype=np.float32)
     rows = np.arange(n_out)

@@ -80,6 +80,13 @@ def lane_block_banded(
     # Keep win*c a multiple of 128 lanes.
     while (win * c) % 128:
         win += 1
+    # Pull overrunning tail windows left (row_align-aligned) to avoid
+    # padding the input lanes.
+    max_off = (op.n_in - win) // row_align * row_align
+    if max_off >= 0 and int(
+        (spans + np.maximum(offs - max_off, 0)).max()
+    ) <= win:
+        offs -= np.maximum(offs - max_off, 0)
     lanes_pad = (int(offs.max()) + win) * c
 
     dense = np.zeros((n_blocks, win * c, tile * c), dtype=np.float32)

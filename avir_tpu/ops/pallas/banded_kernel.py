@@ -61,11 +61,15 @@ def apply_blocked_pallas(
     mode: str = "split2",
     rt: int = 512,
     interpret: bool = False,
+    full_rows: bool = False,
 ) -> jax.Array:
     """Pallas lowering of ``apply_blocked``: [n_in, R] -> [n_out, R] f32.
 
     ``mode``: 'split2' (2 bf16 MXU passes — input values must be exact
     in bf16), 'split3' (adds the input-residual pass), 'exact'.
+    ``full_rows=True`` returns the unsliced [n_blocks*tile, R] buffer
+    (rows past n_out are zero) so a downstream row-consuming kernel can
+    read it without a slice copy.
     """
     n, r = x.shape
     B, T, W = bop.taps_hi.shape
@@ -109,4 +113,6 @@ def apply_blocked_pallas(
             transcendentals=0,
         ),
     )(bop.offs // 32, x, bop.taps_hi, bop.taps_lo)
+    if full_rows and r_pad == r:
+        return out
     return out[: bop.n_out, :r]
