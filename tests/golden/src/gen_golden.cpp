@@ -339,6 +339,20 @@ int main( int argc, char* argv[] )
 	runLancir< uint16_t, uint8_t >( "l_mixed", 97, 61, 51, 33, 3,
 		0, 0, 0, 0, 3.0, 2007 );
 
+	// BASELINE.json-representative configs: 16-bit 4ch sRGB-gamma upsize
+	// (4K->8K proxy), sub-pixel shift + quality presets on 16-bit
+	// grayscale, 16-bit error diffusion, and the LANCIR HD RGBA config.
+	runAvir< uint16_t, uint16_t >( "a_rgba16gamma", 80, 60, 160, 120, 4,
+		0, 0, 0, "def", true, 3, "", 16, 1021 );
+	runAvir< uint16_t, uint16_t >( "a_shift16high", 129, 97, 129, 97, 1,
+		-1.0, 0.35, -0.15, "high", false, -1, "", 16, 1022 );
+	runAvir< uint16_t, uint16_t >( "a_shift16ultra", 129, 97, 129, 97, 1,
+		-1.0, -0.27, 0.44, "ultra", false, -1, "", 16, 1023 );
+	runAvir< uint16_t, uint16_t >( "a_dither16", 97, 61, 51, 33, 3,
+		0, 0, 0, "def", false, -1, "errd", 12, 1024 );
+	runLancir< uint8_t, uint8_t >( "l_hd", 1920, 1080, 1280, 720, 4,
+		0, 0, 0, 0, 3.0, 2008 );
+
 	// ---- Filter-design goldens -----------------------------------------
 
 	// Peaked Cosine window, right half.

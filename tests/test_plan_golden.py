@@ -69,7 +69,15 @@ def test_avir_golden(name):
         maxdiff = np.abs(
             out.astype(np.float64) - ref.astype(np.float64)
         ).max()
-        assert maxdiff <= 1, f"maxdiff {maxdiff}"
+        # Error diffusion quantizes in steps of 2^(out_bits - bitdepth);
+        # rounding ties inside the serial recurrence may fall either way
+        # between our composed-f64 pipeline and the reference's stepwise
+        # f32 arithmetic, so the gate is one quantization step.
+        out_bits = 8 if cfg["tout"] == "u8" else 16
+        tol = 1
+        if cfg["dither"] == "errd":
+            tol = max(tol, 1 << (out_bits - cfg["bitdepth"]))
+        assert maxdiff <= tol, f"maxdiff {maxdiff}"
         assert psnr(out, ref, peak) >= 60.0
 
 
