@@ -134,7 +134,9 @@ class ImageResizer:
             trunc_bits = out_bits - self.res_bit_depth
 
             def run(x):
-                pre = np.asarray(fn(x), dtype=np.float64)
+                pre = np.asarray(fn(x), dtype=np.float64).reshape(
+                    new_h, new_w, ch
+                )
                 dithered = native.errdiff_dither(
                     pre, trunc_bits, out_max
                 )
@@ -142,7 +144,9 @@ class ImageResizer:
 
             return run
 
-        out = np.asarray(self._executor(key, build)(src))
+        out = np.asarray(
+            self._executor(key, build)(src.reshape(sh, sw * ch))
+        ).reshape(new_h, new_w, ch)
         return out[:, :, 0] if squeeze else out
 
 
@@ -176,7 +180,10 @@ class ImageResizer:
             single = self._single_executor(probe, new_w, new_h, **kwargs)
             return jax.jit(jax.vmap(single))
 
-        return np.asarray(self._executor(key, build)(batch))
+        flat = batch.reshape(n, sh, sw * ch)
+        return np.asarray(self._executor(key, build)(flat)).reshape(
+            n, new_h, new_w, ch
+        )
 
     def _single_executor(self, src, new_w, new_h, **kwargs):
         """Build (uncached) the jitted single-image executor for the

@@ -64,7 +64,9 @@ class LancIR:
                 )
                 fn = make_lancir_executor(plan, precision=precision)
                 self._cache[key] = fn
-        out = np.asarray(fn(src))
+        out = np.asarray(fn(src.reshape(sh, sw * ch))).reshape(
+            new_h, new_w, ch
+        )
         return out[:, :, 0] if squeeze else out
 
 

@@ -27,7 +27,7 @@ import numpy as np
 
 from ..ops.banded import BlockedBandedOp, apply_blocked, block_banded
 from ..ops.dither import default_dither_jnp, errdiff_dither_jnp
-from ..ops.gamma import linear_to_srgb_jnp, srgb_to_linear_jnp
+from ..ops.gamma import linear_to_srgb_2d, srgb_to_linear_2d
 from ..plan.lancir_plan import LancirPlan
 from ..plan.plan import ResizePlan
 
@@ -86,7 +86,7 @@ def _separable_pass_lanes(
     else:
         x = apply_lanes_pallas(lop, x, mode_first)     # [h, new_w*c]
         x = apply_blocked_pallas(vop, x, mode_second)  # [new_h, new_w*c]
-    return x.reshape(new_h, new_w, c)
+    return x
 
 
 def _out_dtype(is_float: bool, type_max: float):
@@ -186,34 +186,40 @@ def make_avir_executor(
 
     @jax.jit
     def run(src: jax.Array) -> jax.Array:
+        # src is [h, w*c] (2-D interleaved) — keeps host<->device
+        # transfers and device layouts free of C-minor tile padding.
+        if plan.use_srgb_gamma:
+            x = srgb_to_linear_2d(
+                src.astype(jnp.float32) * jnp.float32(plan.in_gamma_mult),
+                c,
+                plan.alpha_index,
+            )
+        else:
+            x = src  # raw dtype; pallas kernels convert in VMEM
         if pallas and mode1 != "exact":
-            if plan.use_srgb_gamma:
-                x = src.reshape(h, w, c).astype(jnp.float32)
-                x = srgb_to_linear_jnp(
-                    x * jnp.float32(plan.in_gamma_mult), plan.alpha_index
-                ).reshape(h, w * c)
-            else:
-                x = src.reshape(h, w * c)  # raw dtype; kernel converts
             x = _separable_pass_lanes(x, vop, lop, h, w, c, mode1, mode2)
         else:
-            x = src.reshape(h, w, c).astype(jnp.float32)
-            if plan.use_srgb_gamma:
-                x = srgb_to_linear_jnp(
-                    x * jnp.float32(plan.in_gamma_mult), plan.alpha_index
-                )
+            if not plan.use_srgb_gamma:
+                x = x.astype(jnp.float32)
             x = _separable_pass(
-                x, hop, vop, h, w, c, mode1, mode2, pallas
+                x.reshape(h, w, c), hop, vop, h, w, c, mode1, mode2,
+                pallas,
             )
+        x = x.reshape(vop.n_out, hop.n_out * c)
         if plan.use_srgb_gamma:
-            x = linear_to_srgb_jnp(x, plan.alpha_index)
+            x = linear_to_srgb_2d(x, c, plan.alpha_index)
             if plan.out_gamma_mult != 0.0:
                 x = x * jnp.float32(plan.out_gamma_mult)
         if plan.is_out_float or return_predither:
             return x
         if errdiff:
-            x = errdiff_dither_jnp(x, trunc_bits, plan.out_type_max)
-        else:
-            x = default_dither_jnp(x, trunc_bits, plan.out_type_max)
+            x3 = errdiff_dither_jnp(
+                x.reshape(vop.n_out, hop.n_out, c),
+                trunc_bits,
+                plan.out_type_max,
+            )
+            return x3.reshape(vop.n_out, hop.n_out * c).astype(out_dt)
+        x = default_dither_jnp(x, trunc_bits, plan.out_type_max)
         return x.astype(out_dt)
 
     return run
@@ -246,14 +252,15 @@ def make_lancir_executor(
 
     @jax.jit
     def run(src: jax.Array) -> jax.Array:
+        # src is [h, w*c]; output is [new_h, new_w*c].
         if pallas and mode1 != "exact":
-            x = src.reshape(h, w * c)  # raw dtype; kernel converts
-            x = _separable_pass_lanes(x, vop, lop, h, w, c, mode1, mode2)
+            x = _separable_pass_lanes(src, vop, lop, h, w, c, mode1, mode2)
         else:
             x = src.reshape(h, w, c).astype(jnp.float32)
             x = _separable_pass(
                 x, hop, vop, h, w, c, mode1, mode2, pallas
             )
+        x = x.reshape(vop.n_out, hop.n_out * c)
         if plan.out_mul != 1.0:
             x = x * jnp.float32(plan.out_mul)
         if plan.is_out_float:

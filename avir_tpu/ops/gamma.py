@@ -101,3 +101,32 @@ def linear_to_srgb_jnp(s, alpha_index: int = -1):
     if alpha_index in (0, 3) and s.ndim >= 1 and s.shape[-1] == 4:
         srgb = srgb.at[..., alpha_index].set(s[..., alpha_index])
     return srgb
+
+
+def srgb_to_linear_2d(x, c: int, alpha_index: int = -1):
+    """2-D variant: x is [rows, W*C] interleaved; the alpha channel (for
+    4-channel data, index 0 or 3) bypasses conversion via a lane mask —
+    keeps the device array in its clean 2-D layout."""
+    import jax.numpy as jnp
+
+    lin = jnp.where(
+        x <= 0.04045, x / 12.92, _pow24_srgb((x + 0.055) / 1.055)
+    )
+    if alpha_index in (0, 3) and c == 4:
+        mask = (jnp.arange(x.shape[1]) % c) == alpha_index
+        lin = jnp.where(mask[None, :], x, lin)
+    return lin
+
+
+def linear_to_srgb_2d(x, c: int, alpha_index: int = -1):
+    import jax.numpy as jnp
+
+    srgb = jnp.where(
+        x <= 0.0031308,
+        12.92 * x,
+        1.055 * _pow24i_srgb(jnp.maximum(x, 0.0031308), jnp.sqrt) - 0.055,
+    )
+    if alpha_index in (0, 3) and c == 4:
+        mask = (jnp.arange(x.shape[1]) % c) == alpha_index
+        srgb = jnp.where(mask[None, :], x, srgb)
+    return srgb

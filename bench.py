@@ -42,8 +42,8 @@ def main() -> int:
         SRC_W, SRC_H, NEW_W, NEW_H, 3, np.uint8, np.uint8
     )
     fn = make_avir_executor(plan)
-    d = jax.device_put(src)
-    out = np.asarray(fn(d))
+    d = jax.device_put(src.reshape(SRC_H, SRC_W * 3))
+    out = np.asarray(fn(d)).reshape(NEW_H, NEW_W, 3)
 
     # Quality gate vs the float64 host oracle.
     x = src.astype(np.float64)
