@@ -139,11 +139,12 @@ def shard_v_op(
 
 
 def _apply_local_blocked(
-    x: jax.Array, offs: jax.Array, taps: jax.Array, precision
+    x: jax.Array, offs: jax.Array, taps: jax.Array, mode: str
 ) -> jax.Array:
     """x [n_local, R]; offs [blocks]; taps [blocks, tile, win] ->
     [blocks*tile, R].  Windows are dynamic slices of the local buffer
-    (offsets differ per device; shapes are uniform)."""
+    (offsets differ per device; shapes are uniform).  ``mode`` follows
+    the split-bf16 precision scheme of ops/banded.py."""
     blocks, tile, win = taps.shape
     r = x.shape[1]
     xw = jnp.stack(
@@ -152,13 +153,30 @@ def _apply_local_blocked(
             for b in range(blocks)
         ]
     )
-    y = jax.lax.dot_general(
-        taps,
-        xw,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        precision=precision,
-        preferred_element_type=jnp.float32,
-    )
+
+    def bmm(a, b, precision=None):
+        return jax.lax.dot_general(
+            a,
+            b,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            precision=precision,
+            preferred_element_type=jnp.float32,
+        )
+
+    if mode == "exact":
+        y = bmm(taps, xw, jax.lax.Precision.HIGHEST)
+    else:
+        th = taps.astype(jnp.bfloat16)
+        tl = (taps - th.astype(jnp.float32)).astype(jnp.bfloat16)
+        th = jax.lax.optimization_barrier(th)
+        if mode == "split2":
+            xb = xw.astype(jnp.bfloat16)
+            y = bmm(th, xb) + bmm(tl, xb)
+        else:  # split3
+            xh = xw.astype(jnp.bfloat16)
+            xh_b = jax.lax.optimization_barrier(xh)
+            xl = (xw - xh_b.astype(jnp.float32)).astype(jnp.bfloat16)
+            y = bmm(th, xh) + bmm(tl, xh) + bmm(th, xl)
     return y.reshape(blocks * tile, r)
 
 
@@ -179,7 +197,7 @@ def make_sharded_avir_executor(
     mesh: Mesh,
     rows_axis: str = "sp",
     batch_axis: Optional[str] = None,
-    precision: str = "exact",
+    precision: str = "auto",
     tile: int = 64,
 ) -> Callable[[jax.Array], jax.Array]:
     """Compile a ResizePlan into a sharded executor over ``mesh``.
@@ -194,11 +212,15 @@ def make_sharded_avir_executor(
     inherently serial (the reference serializes it too, avir.h:5047-5068)
     and lives only on the single-chip path.
     """
+    from ..models.runtime import resolve_modes
+
     n_dev = mesh.shape[rows_axis]
-    mode = "split2" if precision == "fast" else "exact"
-    dot_precision = (
-        None if precision == "fast" else jax.lax.Precision.HIGHEST
+    in_exact_bf16 = (
+        not plan.is_in_float
+        and plan.in_type_max == 255.0
+        and not plan.use_srgb_gamma
     )
+    mode_first, mode_second = resolve_modes(precision, in_exact_bf16)
     h, w, c = plan.src_h, plan.src_w, plan.el_count
     new_w, new_h = plan.new_w, plan.new_h
     padded_h = h + ((-h) % n_dev)
@@ -235,7 +257,7 @@ def make_sharded_avir_executor(
         x = x.reshape(strip, w, c).transpose(1, 0, 2).reshape(
             w, strip * c
         )
-        x = apply_blocked(hop, x, mode)  # [new_w, strip*c]
+        x = apply_blocked(hop, x, mode_first)  # [new_w, strip*c]
         x = (
             x.reshape(new_w, strip, c)
             .transpose(1, 0, 2)
@@ -263,7 +285,7 @@ def make_sharded_avir_executor(
             ext = jnp.pad(ext, ((0, need - ext.shape[0]), (0, 0)))
 
         # --- V pass: local blocked matmul -----------------------------
-        y = _apply_local_blocked(ext, v_offs, v_taps, dot_precision)
+        y = _apply_local_blocked(ext, v_offs, v_taps, mode_second)
         y = y[: svop.m]  # [m, new_w*c]
 
         # --- output conditioning --------------------------------------
@@ -276,6 +298,107 @@ def make_sharded_avir_executor(
             y = y3.reshape(svop.m, new_w * c)
         if not plan.is_out_float:
             y = default_dither_jnp(y, trunc_bits, plan.out_type_max)
+        return y.astype(out_dt)
+
+    const_spec = P(rows_axis)
+    if batch_axis is None:
+        inner = jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(rows_axis, None), const_spec, const_spec),
+            out_specs=P(rows_axis, None),
+        )
+    else:
+        inner = jax.shard_map(
+            jax.vmap(shard_fn, in_axes=(0, None, None)),
+            mesh=mesh,
+            in_specs=(
+                P(batch_axis, rows_axis, None),
+                const_spec,
+                const_spec,
+            ),
+            out_specs=P(batch_axis, rows_axis, None),
+        )
+
+    @jax.jit
+    def run(src: jax.Array) -> jax.Array:
+        out = inner(src, offs_c, taps_c)
+        return out[..., :new_h, :]
+
+    return run
+
+
+def make_sharded_lancir_executor(
+    plan,
+    mesh: Mesh,
+    rows_axis: str = "sp",
+    batch_axis: Optional[str] = None,
+    precision: str = "auto",
+    tile: int = 64,
+) -> Callable[[jax.Array], jax.Array]:
+    """Sharded executor for a LancirPlan (same row-strip + halo scheme
+    as the AVIR maker; round-half-even output stage)."""
+    from ..models.runtime import resolve_modes
+
+    n_dev = mesh.shape[rows_axis]
+    mode_first, mode_second = resolve_modes(
+        precision, plan.in_exact_bf16
+    )
+    h, w, c = plan.src_h, plan.src_w, plan.el_count
+    new_w, new_h = plan.new_w, plan.new_h
+    padded_h = h + ((-h) % n_dev)
+
+    svop = shard_v_op(plan.v, n_dev, padded_h, tile=tile)
+    hop = block_banded(plan.h)
+    out_dt = (
+        jnp.float32
+        if plan.is_out_float
+        else (jnp.uint8 if plan.clamp == 255.0 else jnp.uint16)
+    )
+
+    offs_c = jnp.asarray(svop.offs)
+    taps_c = jnp.asarray(svop.taps)
+    fwd = [(i, i + 1) for i in range(n_dev - 1)]
+    bwd = [(i + 1, i) for i in range(n_dev - 1)]
+
+    def shard_fn(x, v_offs, v_taps):
+        v_offs = v_offs[0]
+        v_taps = v_taps[0]
+        strip = x.shape[0]
+        x = x.astype(jnp.float32)
+        x = x.reshape(strip, w, c).transpose(1, 0, 2).reshape(
+            w, strip * c
+        )
+        x = apply_blocked(hop, x, mode_first)
+        x = (
+            x.reshape(new_w, strip, c)
+            .transpose(1, 0, 2)
+            .reshape(strip, new_w * c)
+        )
+        if svop.use_all_gather:
+            ext = jax.lax.all_gather(x, rows_axis, tiled=True)
+        else:
+            parts = []
+            if svop.halo_lo > 0:
+                parts.append(
+                    jax.lax.ppermute(x[-svop.halo_lo :], rows_axis, fwd)
+                )
+            parts.append(x)
+            if svop.halo_hi > 0:
+                parts.append(
+                    jax.lax.ppermute(x[: svop.halo_hi], rows_axis, bwd)
+                )
+            ext = jnp.concatenate(parts, axis=0)
+        need = int(svop.offs.max()) + svop.win
+        if need > ext.shape[0]:
+            ext = jnp.pad(ext, ((0, need - ext.shape[0]), (0, 0)))
+        y = _apply_local_blocked(ext, v_offs, v_taps, mode_second)
+        y = y[: svop.m]
+        if plan.out_mul != 1.0:
+            y = y * jnp.float32(plan.out_mul)
+        if plan.is_out_float:
+            return y
+        y = jnp.clip(jnp.round(y), 0.0, plan.clamp)
         return y.astype(out_dt)
 
     const_spec = P(rows_axis)

@@ -124,3 +124,16 @@ def test_multihost_mesh_helper():
     assert mesh.shape["sp"] == 4 and mesh.shape["dp"] == 2
     mesh_all = multihost.make_dp_sp_mesh()
     assert mesh_all.shape["sp"] == 8 and mesh_all.shape["dp"] == 1
+
+
+def test_sharded_lancir():
+    from avir_tpu.parallel.sharded import make_sharded_lancir_executor
+    from avir_tpu.plan.lancir_plan import build_lancir_plan
+
+    src = xorshift128_fill((96, 80, 4), np.uint8, 321)
+    plan = build_lancir_plan(80, 96, 56, 64, 4, np.uint8, np.uint8)
+    mesh = row_mesh()
+    fn = make_sharded_lancir_executor(plan, mesh)
+    out = np.asarray(fn(src.reshape(96, -1))).reshape(64, 56, 4)
+    single = avir_tpu.lancir_resize(src, 56, 64)
+    assert np.abs(out.astype(int) - single.astype(int)).max() <= 1
