@@ -149,3 +149,37 @@ def measure(
         fr, dr, pe = fr_dr_pe_at(resize_fn, src, ks)
         out[j] = (f, fr, dr, pe)
     return out
+
+
+def whitenoise_roundtrip_rms(
+    preset_name: str = "def",
+    size: tuple[int, int] = (512, 512),
+    k: float = 1.0,
+    seed: int = 0,
+    precision: str = "auto",
+) -> float:
+    """White-noise round-trip error — the reference's preset-optimization
+    oracle (avir.h:2250-2259: presets were machine-tuned to minimize the
+    squared error of a k=1 round trip on a 0.5-Mpix uniform-white-noise
+    image).  Returns the RMS error in float units (input range [0, 1]).
+
+    Lower is better; the published FR-linearity ordering is
+    Ultra < High < Def < Low < LR < ULR.
+    """
+    import avir_tpu
+
+    h, w = size
+    rng = np.random.default_rng(seed)
+    src = rng.random((h, w), dtype=np.float32)
+    rz = avir_tpu.ImageResizer(
+        res_bit_depth=16, params=avir_tpu.preset(preset_name)
+    )
+    dw, dh = max(1, round(w / k)), max(1, round(h / k))
+    mid = rz.resize(src, dw, dh, k=-k, precision=precision)
+    back = rz.resize(mid, w, h, k=-(1.0 / k), precision=precision)
+    o = 16  # ignore edge effects
+    d = (
+        src[o : h - o, o : w - o].astype(np.float64)
+        - back[o : h - o, o : w - o].astype(np.float64)
+    )
+    return float(np.sqrt(np.mean(d * d)))

@@ -73,3 +73,18 @@ def test_k_sweep_matches_reference():
     assert ks[0] == 1.0
     assert all(k > 0.3 for k in ks)
     assert len(ks) == 24  # 0.95**23 > 0.3 > 0.95**24
+
+
+def test_preset_quality_ordering():
+    """White-noise round-trip RMS reproduces the published preset
+    linearity ordering (avir.h preset score comments):
+    Ultra < High < Def < Low < LR < ULR."""
+    from avir_tpu.metrology import whitenoise_roundtrip_rms
+
+    scores = [
+        whitenoise_roundtrip_rms(p, size=(192, 192), k=1.4142)
+        for p in ["ultra", "high", "def", "low", "lr", "ulr"]
+    ]
+    assert all(
+        a < b for a, b in zip(scores, scores[1:])
+    ), scores
