@@ -184,6 +184,12 @@ def make_avir_executor(
     out_bits = 8 if plan.out_type_max == 255.0 else 16
     trunc_bits = 0 if plan.is_out_float else out_bits - plan.res_bit_depth
 
+    use_fused = False
+    if pallas and mode1 != "exact":
+        from ..ops.pallas.fused_kernel import fused_viable
+
+        use_fused = fused_viable(vop, lop)
+
     @jax.jit
     def run(src: jax.Array) -> jax.Array:
         # src is [h, w*c] (2-D interleaved) — keeps host<->device
@@ -196,7 +202,25 @@ def make_avir_executor(
             )
         else:
             x = src  # raw dtype; pallas kernels convert in VMEM
-        if pallas and mode1 != "exact":
+        if use_fused:
+            from ..ops.pallas.fused_kernel import apply_fused_pallas
+
+            fuse_quant = (
+                not plan.is_out_float
+                and not errdiff
+                and not return_predither
+                and not plan.use_srgb_gamma
+            )
+            out2 = apply_fused_pallas(
+                vop, lop, x, mode1, mode2,
+                out_dtype=(out_dt if fuse_quant else jnp.float32),
+                out_max=plan.out_type_max,
+                trunc_bits=trunc_bits if fuse_quant else 0,
+            )
+            x = out2[: vop.n_out, : hop.n_out * c]
+            if fuse_quant:
+                return x
+        elif pallas and mode1 != "exact":
             x = _separable_pass_lanes(x, vop, lop, h, w, c, mode1, mode2)
         else:
             if not plan.use_srgb_gamma:
@@ -250,9 +274,31 @@ def make_lancir_executor(
     in_exact_bf16 = plan.in_exact_bf16
     mode1, mode2 = resolve_modes(precision, in_exact_bf16)
 
+    use_fused = False
+    if pallas and mode1 != "exact":
+        from ..ops.pallas.fused_kernel import fused_viable
+
+        use_fused = fused_viable(vop, lop)
+
     @jax.jit
     def run(src: jax.Array) -> jax.Array:
         # src is [h, w*c]; output is [new_h, new_w*c].
+        if use_fused:
+            from ..ops.pallas.fused_kernel import apply_fused_pallas
+
+            out2 = apply_fused_pallas(
+                vop, lop, src, mode1, mode2,
+                out_dtype=(out_dt if not plan.is_out_float else jnp.float32),
+                out_max=plan.clamp,
+                scale=plan.out_mul,
+                round_mode="even",
+            )
+            x = out2[: vop.n_out, : hop.n_out * c]
+            if not plan.is_out_float:
+                return x
+            if plan.out_mul != 1.0:
+                x = x * jnp.float32(plan.out_mul)
+            return x
         if pallas and mode1 != "exact":
             x = _separable_pass_lanes(src, vop, lop, h, w, c, mode1, mode2)
         else:

@@ -1,0 +1,193 @@
+"""Fused two-pass Pallas kernel: the whole separable resize in one
+program.
+
+For each (column-block hb, row-block vb) grid cell the kernel:
+
+  1. streams the u8/u16/f32 input window
+     x[offs_v[vb] : +win_v, offs_h[hb]*C : +win_h*C] HBM→VMEM
+     (element-offset BlockSpecs, auto-pipelined);
+  2. vertical pass on the MXU: [T_v, win_v] @ [win_v, win_h*C]
+     (split-bf16, f32 accumulation);
+  3. horizontal pass on the MXU: [T_v, win_h*C] @ [win_h*C, T_h*C]
+     with the channel-diagonal lane-form taps (ops/lanes.py), the
+     split of the f32 intermediate done in VMEM;
+  4. writes the [T_v, T_h*C] tile of the FINAL interleaved output —
+     optionally already quantized (round+clamp) to u8/u16.
+
+The f32 intermediate image never exists in HBM: the only HBM traffic is
+the (slightly overlapping) input windows and the output.  The grid
+iterates vb innermost so the large horizontal tap blocks stay resident
+in VMEM across a whole column of cells.
+
+This is the "speed-of-light" configuration of BASELINE.json: both
+separable passes fused over VMEM-resident strips.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..banded import BlockedBandedOp
+from ..lanes import LaneBlockedOp
+
+
+def _kernel(
+    offv32_ref, offh128_ref, x_ref,
+    tvh_ref, tvl_ref, thh_ref, thl_ref,
+    out_ref, *, mode_v, mode_h, out_max, trunc_bits, scale, round_mode,
+):
+    xw = x_ref[...]
+    if xw.dtype in (jnp.uint8, jnp.uint16, jnp.int8, jnp.int16):
+        xw = xw.astype(jnp.int32).astype(jnp.float32)
+    else:
+        xw = xw.astype(jnp.float32)
+
+    # ---- vertical pass: [T_v, win_v] @ [win_v, win_h*C] -------------
+    xb = xw.astype(jnp.bfloat16)
+    v = jnp.dot(tvh_ref[0], xb, preferred_element_type=jnp.float32)
+    v = v + jnp.dot(tvl_ref[0], xb, preferred_element_type=jnp.float32)
+    if mode_v == "split3":
+        xl = (xw - xb.astype(jnp.float32)).astype(jnp.bfloat16)
+        v = v + jnp.dot(
+            tvh_ref[0], xl, preferred_element_type=jnp.float32
+        )
+
+    # ---- horizontal pass: [T_v, win_h*C] @ [win_h*C, T_h*C] ---------
+    vh = v.astype(jnp.bfloat16)
+    acc = jnp.dot(vh, thh_ref[0], preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(vh, thl_ref[0], preferred_element_type=jnp.float32)
+    if mode_h == "split3":
+        vl = (v - vh.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = acc + jnp.dot(
+            vl, thh_ref[0], preferred_element_type=jnp.float32
+        )
+
+    if out_ref.dtype != jnp.float32:
+        # Fused output stage: optional scale, then round + clamp
+        # (+ truncation) — the default ditherer (avir.h:4392) or
+        # LANCIR's round-half-even (lancir.h:1870-2002).
+        if scale != 1.0:
+            acc = acc * jnp.float32(scale)
+        if trunc_bits > 0:
+            out_range = int(out_max)
+            tm = jnp.float32(out_max / (out_range >> trunc_bits))
+            acc = jnp.floor(acc / tm + 0.5) * tm
+        elif round_mode == "even":
+            acc = jnp.round(acc)
+        else:
+            acc = jnp.floor(acc + 0.5)
+        acc = jnp.clip(acc, 0.0, out_max)
+        # Mosaic has no direct f32 -> u8/u16 cast; go through int32.
+        out_ref[...] = acc.astype(jnp.int32).astype(out_ref.dtype)
+    else:
+        out_ref[...] = acc
+
+
+def apply_fused_pallas(
+    vop: BlockedBandedOp,
+    lop: LaneBlockedOp,
+    x: jax.Array,
+    mode_v: str = "split2",
+    mode_h: str = "split3",
+    out_dtype=jnp.float32,
+    out_max: float = 255.0,
+    trunc_bits: int = 0,
+    scale: float = 1.0,
+    round_mode: str = "biased",
+    interpret: bool = False,
+) -> jax.Array:
+    """[n_in_rows, n_in*C] -> [v_blocks*T_v, h_blocks*T_h*C]; callers
+    slice to [new_h, new_w*C].  When ``out_dtype`` is an integer type
+    the default dither (round/clamp/truncate) is fused into the
+    epilogue."""
+    rows, lanes = x.shape
+    c = lop.c
+    Bv, Tv, Wv = vop.taps_hi.shape
+    Bh, WC, TC = lop.taps_hi.shape
+
+    need_rows = vop.n_in_pad
+    need_lanes = lop.lanes_pad
+    if need_rows > rows or need_lanes > lanes:
+        x = jnp.pad(
+            x,
+            (
+                (0, max(need_rows - rows, 0)),
+                (0, max(need_lanes - lanes, 0)),
+            ),
+        )
+
+    grid = (Bh, Bv)  # vb innermost: H taps stay resident per column
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Element(Wv), pl.Element(WC)),
+                lambda hb, vb, offv32, offh128: (
+                    offv32[vb] * 32,
+                    offh128[hb] * 128,
+                ),
+            ),
+            pl.BlockSpec(
+                (1, Tv, Wv), lambda hb, vb, *_: (vb, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, Tv, Wv), lambda hb, vb, *_: (vb, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, WC, TC), lambda hb, vb, *_: (hb, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, WC, TC), lambda hb, vb, *_: (hb, 0, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (Tv, TC), lambda hb, vb, *_: (vb, hb)
+        ),
+    )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel,
+            mode_v=mode_v,
+            mode_h=mode_h,
+            out_max=out_max,
+            trunc_bits=trunc_bits,
+            scale=scale,
+            round_mode=round_mode,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Bv * Tv, Bh * TC), out_dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bh * Bv * Tv * (Wv + TC) * WC,
+            bytes_accessed=Bh * Bv * Wv * WC * x.dtype.itemsize
+            + Bv * Tv * Bh * TC * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0,
+        ),
+    )(vop.offs // 32, (lop.offs * c) // 128, x,
+      vop.taps_hi, vop.taps_lo, lop.taps_hi, lop.taps_lo)
+    return out
+
+
+def fused_viable(vop: BlockedBandedOp, lop: LaneBlockedOp) -> bool:
+    """Rough VMEM-budget check for the fused kernel's block shapes."""
+    Bv, Tv, Wv = vop.taps_hi.shape
+    Bh, WC, TC = lop.taps_hi.shape
+    vmem = (
+        2 * Wv * WC            # double-buffered input window (u8-worst)
+        + 4 * Wv * WC          # f32 conversion temp
+        + 2 * 2 * Tv * Wv * 2  # V taps hi/lo, double-buffered
+        + 2 * 2 * WC * TC * 2  # H taps hi/lo, double-buffered
+        + 4 * Tv * WC          # V intermediate
+        + 2 * 4 * Tv * TC      # output tiles
+    )
+    # Conservative estimate; Mosaic schedules within 16 MB VMEM (the
+    # 8K-bench shapes, ~13.6 MB by this accounting, compile and run).
+    return vmem < 14 * 1024 * 1024

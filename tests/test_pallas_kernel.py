@@ -1,9 +1,25 @@
-"""Pallas banded-kernel tests (interpret mode on CPU; the compiled
-Mosaic path is exercised on the real chip by bench.py and the TPU spot
-checks)."""
+"""Pallas banded-kernel tests (interpret mode, pinned to the CPU
+device — interpret mode on the TPU backend uses default-precision dots
+and is not numerically faithful; the compiled Mosaic path is exercised
+on the real chip by bench.py and the TPU spot checks)."""
 
+import contextlib
+
+import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _on_cpu():
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        yield
+        return
+    with jax.default_device(cpu):
+        yield
 
 from avir_tpu.ops.banded import apply_blocked, block_banded
 from avir_tpu.ops.pallas.banded_kernel import apply_blocked_pallas
@@ -87,3 +103,43 @@ def test_lanes_matches_transpose_route():
         apply_lanes_pallas(lop, jnp.asarray(x), "split2", interpret=True)
     )
     np.testing.assert_allclose(got_p, ref, atol=tol)
+
+
+def test_fused_two_pass_kernel():
+    """Fused V+H mega-kernel vs the exact two-stage route."""
+    from avir_tpu.ops.lanes import lane_block_banded
+    from avir_tpu.ops.pallas.fused_kernel import apply_fused_pallas
+
+    plan = build_resize_plan(200, 150, 80, 60, 3, np.uint8, np.uint8)
+    vop = block_banded(plan.v.op)
+    hop = block_banded(plan.h.op)
+    lop = lane_block_banded(plan.h.op, 3)
+    x = xorshift128_fill((150, 600), np.uint8, 21)
+
+    v = apply_blocked(vop, jnp.asarray(x, jnp.float32), "exact")[:60]
+    t = (
+        np.asarray(v)
+        .reshape(60, 200, 3)
+        .transpose(1, 0, 2)
+        .reshape(200, 180)
+    )
+    ref = (
+        np.asarray(apply_blocked(hop, jnp.asarray(t), "exact"))
+        .reshape(80, 60, 3)
+        .transpose(1, 0, 2)
+        .reshape(60, 240)
+    )
+
+    out = np.asarray(
+        apply_fused_pallas(vop, lop, jnp.asarray(x), interpret=True)
+    )[:60, :240]
+    np.testing.assert_allclose(out, ref, atol=np.abs(ref).max() * 1e-4)
+
+    outq = np.asarray(
+        apply_fused_pallas(
+            vop, lop, jnp.asarray(x), out_dtype=jnp.uint8,
+            interpret=True,
+        )
+    )[:60, :240]
+    refq = np.clip(np.floor(ref + 0.5), 0, 255).astype(np.uint8)
+    assert np.abs(outq.astype(int) - refq.astype(int)).max() <= 1
