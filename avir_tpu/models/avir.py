@@ -11,7 +11,6 @@ dithering.  Unlike the reference the object IS safe to reuse concurrently
 from __future__ import annotations
 
 import threading
-from typing import Optional
 
 import numpy as np
 

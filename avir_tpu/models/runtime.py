@@ -23,7 +23,6 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.banded import BlockedBandedOp, apply_blocked, block_banded
 from ..ops.dither import default_dither_jnp, errdiff_dither_jnp

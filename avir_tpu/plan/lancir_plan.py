@@ -11,7 +11,6 @@ as the AVIR path (linear operators commute across axes).
 from __future__ import annotations
 
 import dataclasses
-import math
 
 import numpy as np
 import scipy.sparse as sp

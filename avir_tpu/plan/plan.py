@@ -11,7 +11,6 @@ chain into a single banded operator ready for the device kernels.
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Optional
 
 import numpy as np
