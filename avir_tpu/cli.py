@@ -137,6 +137,7 @@ def run_one(src: np.ndarray, new_w: int, new_h: int, args) -> np.ndarray:
         dither="errdiff" if args.dither else "default",
     )
     if args.zero_flush > 0 and ch == 4:
+        out = np.array(out)  # resize output may be a read-only view
         mask = out[:, :, 3] < args.zero_flush
         out[mask, :3] = 0
     return out

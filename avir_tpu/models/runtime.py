@@ -184,15 +184,50 @@ def make_avir_executor(
     trunc_bits = 0 if plan.is_out_float else out_bits - plan.res_bit_depth
 
     use_fused = False
+    forder = "vh"
     if pallas and mode1 != "exact":
-        from ..ops.pallas.fused_kernel import fused_viable
+        from ..ops.pallas.fused_kernel import choose_fused
 
-        use_fused = fused_viable(vop, lop)
+        use_fused, forder = choose_fused(
+            vop, lop, mode1, mode2, plan.use_srgb_gamma, c
+        )
+    mv, mh = (mode1, mode2) if forder == "vh" else (mode2, mode1)
 
     @jax.jit
     def run(src: jax.Array) -> jax.Array:
         # src is [h, w*c] (2-D interleaved) — keeps host<->device
         # transfers and device layouts free of C-minor tile padding.
+        if use_fused:
+            from ..ops.pallas.fused_kernel import apply_fused_pallas
+
+            # The fused kernel takes the RAW image and applies gamma,
+            # both passes, gamma-out and quantization internally.
+            fuse_quant = (
+                not plan.is_out_float
+                and not errdiff
+                and not return_predither
+            )
+            out2 = apply_fused_pallas(
+                vop, lop, src, mv, mh,
+                out_dtype=(out_dt if fuse_quant else jnp.float32),
+                out_max=plan.out_type_max,
+                trunc_bits=trunc_bits if fuse_quant else 0,
+                gamma=plan.use_srgb_gamma,
+                alpha_index=plan.alpha_index,
+                in_gamma_mult=plan.in_gamma_mult,
+                out_gamma_mult=plan.out_gamma_mult,
+                order=forder,
+            )
+            x = out2[: vop.n_out, : hop.n_out * c]
+            if fuse_quant or plan.is_out_float or return_predither:
+                return x
+            # errdiff-device on the (already gamma-corrected) float
+            x3 = errdiff_dither_jnp(
+                x.reshape(vop.n_out, hop.n_out, c),
+                trunc_bits,
+                plan.out_type_max,
+            )
+            return x3.reshape(vop.n_out, hop.n_out * c).astype(out_dt)
         if plan.use_srgb_gamma:
             x = srgb_to_linear_2d(
                 src.astype(jnp.float32) * jnp.float32(plan.in_gamma_mult),
@@ -201,25 +236,7 @@ def make_avir_executor(
             )
         else:
             x = src  # raw dtype; pallas kernels convert in VMEM
-        if use_fused:
-            from ..ops.pallas.fused_kernel import apply_fused_pallas
-
-            fuse_quant = (
-                not plan.is_out_float
-                and not errdiff
-                and not return_predither
-                and not plan.use_srgb_gamma
-            )
-            out2 = apply_fused_pallas(
-                vop, lop, x, mode1, mode2,
-                out_dtype=(out_dt if fuse_quant else jnp.float32),
-                out_max=plan.out_type_max,
-                trunc_bits=trunc_bits if fuse_quant else 0,
-            )
-            x = out2[: vop.n_out, : hop.n_out * c]
-            if fuse_quant:
-                return x
-        elif pallas and mode1 != "exact":
+        if pallas and mode1 != "exact":
             x = _separable_pass_lanes(x, vop, lop, h, w, c, mode1, mode2)
         else:
             if not plan.use_srgb_gamma:
@@ -274,10 +291,14 @@ def make_lancir_executor(
     mode1, mode2 = resolve_modes(precision, in_exact_bf16)
 
     use_fused = False
+    forder = "vh"
     if pallas and mode1 != "exact":
-        from ..ops.pallas.fused_kernel import fused_viable
+        from ..ops.pallas.fused_kernel import choose_fused
 
-        use_fused = fused_viable(vop, lop)
+        use_fused, forder = choose_fused(
+            vop, lop, mode1, mode2, False, c
+        )
+    mv, mh = (mode1, mode2) if forder == "vh" else (mode2, mode1)
 
     @jax.jit
     def run(src: jax.Array) -> jax.Array:
@@ -286,11 +307,12 @@ def make_lancir_executor(
             from ..ops.pallas.fused_kernel import apply_fused_pallas
 
             out2 = apply_fused_pallas(
-                vop, lop, src, mode1, mode2,
+                vop, lop, src, mv, mh,
                 out_dtype=(out_dt if not plan.is_out_float else jnp.float32),
                 out_max=plan.clamp,
                 scale=plan.out_mul,
                 round_mode="even",
+                order=forder,
             )
             x = out2[: vop.n_out, : hop.n_out * c]
             if not plan.is_out_float:

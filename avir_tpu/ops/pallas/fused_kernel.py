@@ -33,39 +33,111 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..banded import BlockedBandedOp
+from ..gamma import _pow24_srgb, _pow24i_srgb
 from ..lanes import LaneBlockedOp
+
+
+def _alpha_mask(shape, c, alpha_index):
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, dimension=1)
+    return (lane % c) == alpha_index
+
+
+def _srgb_to_linear(x, c, alpha_index):
+    lin = jnp.where(
+        x <= 0.04045, x / 12.92, _pow24_srgb((x + 0.055) / 1.055)
+    )
+    if alpha_index in (0, 3) and c == 4:
+        lin = jnp.where(_alpha_mask(x.shape, c, alpha_index), x, lin)
+    return lin
+
+
+def _linear_to_srgb(x, c, alpha_index):
+    srgb = jnp.where(
+        x <= 0.0031308,
+        12.92 * x,
+        1.055 * _pow24i_srgb(jnp.maximum(x, 0.0031308), jnp.sqrt) - 0.055,
+    )
+    if alpha_index in (0, 3) and c == 4:
+        srgb = jnp.where(_alpha_mask(x.shape, c, alpha_index), x, srgb)
+    return srgb
 
 
 def _kernel(
     offv32_ref, offh128_ref, x_ref,
     tvh_ref, tvl_ref, thh_ref, thl_ref,
     out_ref, *, mode_v, mode_h, out_max, trunc_bits, scale, round_mode,
+    c, gamma, alpha_index, in_gamma_mult, out_gamma_mult, order,
 ):
     xw = x_ref[...]
     if xw.dtype in (jnp.uint8, jnp.uint16, jnp.int8, jnp.int16):
         xw = xw.astype(jnp.int32).astype(jnp.float32)
     else:
         xw = xw.astype(jnp.float32)
-
-    # ---- vertical pass: [T_v, win_v] @ [win_v, win_h*C] -------------
-    xb = xw.astype(jnp.bfloat16)
-    v = jnp.dot(tvh_ref[0], xb, preferred_element_type=jnp.float32)
-    v = v + jnp.dot(tvl_ref[0], xb, preferred_element_type=jnp.float32)
-    if mode_v == "split3":
-        xl = (xw - xb.astype(jnp.float32)).astype(jnp.bfloat16)
-        v = v + jnp.dot(
-            tvh_ref[0], xl, preferred_element_type=jnp.float32
+    if gamma:
+        # Fused pack stage: sRGB -> linear on the VPU (avir.h:208-220).
+        xw = _srgb_to_linear(
+            xw * jnp.float32(in_gamma_mult), c, alpha_index
         )
 
-    # ---- horizontal pass: [T_v, win_h*C] @ [win_h*C, T_h*C] ---------
-    vh = v.astype(jnp.bfloat16)
-    acc = jnp.dot(vh, thh_ref[0], preferred_element_type=jnp.float32)
-    acc = acc + jnp.dot(vh, thl_ref[0], preferred_element_type=jnp.float32)
-    if mode_h == "split3":
-        vl = (v - vh.astype(jnp.float32)).astype(jnp.bfloat16)
+    if order == "vh":
+        # ---- vertical pass: [T_v, win_v] @ [win_v, win_h*C] ---------
+        xb = xw.astype(jnp.bfloat16)
+        v = jnp.dot(tvh_ref[0], xb, preferred_element_type=jnp.float32)
+        v = v + jnp.dot(tvl_ref[0], xb, preferred_element_type=jnp.float32)
+        if mode_v == "split3":
+            xl = (xw - xb.astype(jnp.float32)).astype(jnp.bfloat16)
+            v = v + jnp.dot(
+                tvh_ref[0], xl, preferred_element_type=jnp.float32
+            )
+
+        # ---- horizontal pass: [T_v, win_h*C] @ [win_h*C, T_h*C] -----
+        vh = v.astype(jnp.bfloat16)
+        acc = jnp.dot(vh, thh_ref[0], preferred_element_type=jnp.float32)
         acc = acc + jnp.dot(
-            vl, thh_ref[0], preferred_element_type=jnp.float32
+            vh, thl_ref[0], preferred_element_type=jnp.float32
         )
+        if mode_h == "split3":
+            vl = (v - vh.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc = acc + jnp.dot(
+                vl, thh_ref[0], preferred_element_type=jnp.float32
+            )
+    else:
+        # H-first order (upsizing: win_v < T_v, so running the wide
+        # horizontal contraction on the window's few input rows is
+        # cheaper than on the tile's many output rows).
+        # ---- horizontal pass: [win_v, win_h*C] @ [win_h*C, T_h*C] ---
+        xb = xw.astype(jnp.bfloat16)
+        hpass = jnp.dot(
+            xb, thh_ref[0], preferred_element_type=jnp.float32
+        )
+        hpass = hpass + jnp.dot(
+            xb, thl_ref[0], preferred_element_type=jnp.float32
+        )
+        if mode_h == "split3":
+            xl = (xw - xb.astype(jnp.float32)).astype(jnp.bfloat16)
+            hpass = hpass + jnp.dot(
+                xl, thh_ref[0], preferred_element_type=jnp.float32
+            )
+
+        # ---- vertical pass: [T_v, win_v] @ [win_v, T_h*C] -----------
+        hb_ = hpass.astype(jnp.bfloat16)
+        acc = jnp.dot(
+            tvh_ref[0], hb_, preferred_element_type=jnp.float32
+        )
+        acc = acc + jnp.dot(
+            tvl_ref[0], hb_, preferred_element_type=jnp.float32
+        )
+        if mode_v == "split3":
+            hl = (hpass - hb_.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc = acc + jnp.dot(
+                tvh_ref[0], hl, preferred_element_type=jnp.float32
+            )
+
+    if gamma:
+        # Fused unpack stage: linear -> sRGB (avir.h:299-310).
+        acc = _linear_to_srgb(acc, c, alpha_index)
+        if out_gamma_mult != 0.0:
+            acc = acc * jnp.float32(out_gamma_mult)
 
     if out_ref.dtype != jnp.float32:
         # Fused output stage: optional scale, then round + clamp
@@ -99,6 +171,11 @@ def apply_fused_pallas(
     trunc_bits: int = 0,
     scale: float = 1.0,
     round_mode: str = "biased",
+    gamma: bool = False,
+    alpha_index: int = -1,
+    in_gamma_mult: float = 1.0,
+    out_gamma_mult: float = 1.0,
+    order: str = "vh",
     interpret: bool = False,
 ) -> jax.Array:
     """[n_in_rows, n_in*C] -> [v_blocks*T_v, h_blocks*T_h*C]; callers
@@ -161,6 +238,12 @@ def apply_fused_pallas(
             trunc_bits=trunc_bits,
             scale=scale,
             round_mode=round_mode,
+            c=lop.c,
+            gamma=gamma,
+            alpha_index=alpha_index,
+            in_gamma_mult=in_gamma_mult,
+            out_gamma_mult=out_gamma_mult,
+            order=order,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Bv * Tv, Bh * TC), out_dtype),
@@ -176,16 +259,60 @@ def apply_fused_pallas(
     return out
 
 
-def fused_viable(vop: BlockedBandedOp, lop: LaneBlockedOp) -> bool:
+def choose_fused(
+    vop: BlockedBandedOp,
+    lop: LaneBlockedOp,
+    mode1: str,
+    mode2: str,
+    gamma: bool,
+    c: int,
+) -> tuple[bool, str]:
+    """(use_fused, order): route between the fused two-pass kernel and
+    the two-kernel pipeline (_separable_pass_lanes).
+
+    Empirical rule from on-chip measurements (v5e, device-time ms):
+
+      config                      unfused  fused-vh  fused-hv
+      8K->1080p u8 RGB              1.058     0.861     1.923
+      4K->8K u16 RGBA gamma         8.564    13.719    16.106
+      4K->8K u8 RGB                 4.971     4.304     5.094
+      VGA->XGA u8 RGB               0.065     0.108     0.126
+
+    Fusion removes the f32 intermediate's HBM round trip but pays
+    (a) window-overlap recompute of the first pass, amplified on
+    upsizing where windows are alignment-padded (Wv pinned at 128),
+    (b) in-kernel gamma recomputed over those overlapping windows, and
+    (c) lower MXU efficiency than the single-pass kernels' long-M
+    matmuls.  Downsizing always wins with fusion; upsizing only when
+    the first pass is split2 (8-bit-exact input, no gamma) and the
+    output is large enough to amortize (c).  H-first order never won
+    under the current blocking (the padded V window is never smaller
+    than the V tile); the kernel keeps the path for future tile
+    tuning.  mode1 applies to whichever pass touches the raw input.
+    """
+    del mode2
+    if not fused_viable(vop, lop, "vh"):
+        return False, "vh"
+    downsize = vop.n_out * lop.n_out <= vop.n_in * lop.n_in
+    if downsize:
+        return True, "vh"
+    big = vop.n_out * lop.n_out * c >= 8_000_000
+    return (mode1 == "split2" and not gamma and big), "vh"
+
+
+def fused_viable(
+    vop: BlockedBandedOp, lop: LaneBlockedOp, order: str = "vh"
+) -> bool:
     """Rough VMEM-budget check for the fused kernel's block shapes."""
     Bv, Tv, Wv = vop.taps_hi.shape
     Bh, WC, TC = lop.taps_hi.shape
+    inter = Tv * WC if order == "vh" else Wv * TC
     vmem = (
         2 * Wv * WC            # double-buffered input window (u8-worst)
         + 4 * Wv * WC          # f32 conversion temp
         + 2 * 2 * Tv * Wv * 2  # V taps hi/lo, double-buffered
         + 2 * 2 * WC * TC * 2  # H taps hi/lo, double-buffered
-        + 4 * Tv * WC          # V intermediate
+        + 4 * inter            # inter-pass f32 intermediate
         + 2 * 4 * Tv * TC      # output tiles
     )
     # Conservative estimate; Mosaic schedules within 16 MB VMEM (the

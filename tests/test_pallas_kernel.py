@@ -143,3 +143,82 @@ def test_fused_two_pass_kernel():
     )[:60, :240]
     refq = np.clip(np.floor(ref + 0.5), 0, 255).astype(np.uint8)
     assert np.abs(outq.astype(int) - refq.astype(int)).max() <= 1
+
+
+def test_fused_kernel_hv_order_upsize():
+    """H-first fused order (upsize) vs the exact two-stage route."""
+    from avir_tpu.ops.lanes import lane_block_banded
+    from avir_tpu.ops.pallas.fused_kernel import apply_fused_pallas
+
+    plan = build_resize_plan(80, 60, 200, 150, 3, np.uint8, np.uint8)
+    vop = block_banded(plan.v.op)
+    hop = block_banded(plan.h.op)
+    lop = lane_block_banded(plan.h.op, 3)
+    x = xorshift128_fill((60, 240), np.uint8, 77)
+
+    v = apply_blocked(vop, jnp.asarray(x, jnp.float32), "exact")[:150]
+    t = (
+        np.asarray(v).reshape(150, 80, 3).transpose(1, 0, 2)
+        .reshape(80, 450)
+    )
+    ref = (
+        np.asarray(apply_blocked(hop, jnp.asarray(t), "exact"))
+        .reshape(200, 150, 3).transpose(1, 0, 2).reshape(150, 600)
+    )
+
+    # mode_h (first pass, raw u8 input) split2; mode_v split3.
+    out = np.asarray(
+        apply_fused_pallas(
+            vop, lop, jnp.asarray(x), "split3", "split2",
+            order="hv", interpret=True,
+        )
+    )[:150, :600]
+    np.testing.assert_allclose(out, ref, atol=np.abs(ref).max() * 1e-4)
+
+
+def test_fused_kernel_gamma_alpha():
+    """Fused kernel with in-kernel sRGB gamma (u16 RGBA, alpha bypass)
+    vs the unfused route (gamma -> exact passes -> gamma-out)."""
+    from avir_tpu.ops.gamma import linear_to_srgb_2d, srgb_to_linear_2d
+    from avir_tpu.ops.lanes import lane_block_banded
+    from avir_tpu.ops.pallas.fused_kernel import apply_fused_pallas
+
+    plan = build_resize_plan(
+        160, 120, 64, 48, 4, np.uint16, np.uint16,
+        res_bit_depth=16, use_srgb_gamma=True, alpha_index=3,
+    )
+    vop = block_banded(plan.v.op)
+    hop = block_banded(plan.h.op)
+    lop = lane_block_banded(plan.h.op, 4)
+    x = xorshift128_fill((120, 640), np.uint16, 31)
+
+    lin = srgb_to_linear_2d(
+        jnp.asarray(x, jnp.float32) * jnp.float32(plan.in_gamma_mult),
+        4, 3,
+    )
+    v = apply_blocked(vop, lin, "exact")[:48]
+    t = (
+        np.asarray(v).reshape(48, 160, 4).transpose(1, 0, 2)
+        .reshape(160, 192)
+    )
+    ref = (
+        np.asarray(apply_blocked(hop, jnp.asarray(t), "exact"))
+        .reshape(64, 48, 4).transpose(1, 0, 2).reshape(48, 256)
+    )
+    ref = np.asarray(linear_to_srgb_2d(jnp.asarray(ref), 4, 3))
+    if plan.out_gamma_mult != 0.0:
+        ref = ref * plan.out_gamma_mult
+
+    out = np.asarray(
+        apply_fused_pallas(
+            vop, lop, jnp.asarray(x), "split3", "split3",
+            out_dtype=jnp.uint16, out_max=65535.0,
+            gamma=True, alpha_index=3,
+            in_gamma_mult=plan.in_gamma_mult,
+            out_gamma_mult=plan.out_gamma_mult,
+            interpret=True,
+        )
+    )[:48, :256]
+    refq = np.clip(np.floor(ref + 0.5), 0, 65535).astype(np.uint16)
+    # split-bf16 passes under a gamma nonlinearity: allow a few LSBs.
+    assert np.abs(out.astype(int) - refq.astype(int)).max() <= 24
