@@ -183,21 +183,63 @@ def make_avir_executor(
     out_bits = 8 if plan.out_type_max == 255.0 else 16
     trunc_bits = 0 if plan.is_out_float else out_bits - plan.res_bit_depth
 
-    use_fused = False
+    kind = "unfused"
     forder = "vh"
+    pop = None
     if pallas and mode1 != "exact":
-        from ..ops.pallas.fused_kernel import choose_fused
+        from ..ops.pallas.fused_kernel import choose_path
 
-        use_fused, forder = choose_fused(
-            vop, lop, mode1, mode2, plan.use_srgb_gamma, c
+        kind, forder = choose_path(
+            vop, lop, None, mode1, mode2, plan.use_srgb_gamma, c
         )
+        if kind == "planar":  # not currently selected; see choose_path
+            from ..ops.lanes import lane_block_banded
+
+            pop = lane_block_banded(plan.h.op, 1)
     mv, mh = (mode1, mode2) if forder == "vh" else (mode2, mode1)
 
     @jax.jit
     def run(src: jax.Array) -> jax.Array:
         # src is [h, w*c] (2-D interleaved) — keeps host<->device
         # transfers and device layouts free of C-minor tile padding.
-        if use_fused:
+        if kind == "planar":
+            from ..ops.pallas.planar_kernel import (
+                apply_planar_pallas,
+                deinterleave,
+                plane_stride,
+                reinterleave,
+            )
+
+            fuse_quant = (
+                not plan.is_out_float
+                and not errdiff
+                and not return_predither
+            )
+            hp = plane_stride(vop)
+            wp = max(w, pop.lanes_pad)
+            xp = deinterleave(src, h, w, c, hp, wp)
+            outp = apply_planar_pallas(
+                vop, pop, xp, c, mode1, mode2,
+                out_dtype=(out_dt if fuse_quant else jnp.float32),
+                out_max=plan.out_type_max,
+                trunc_bits=trunc_bits if fuse_quant else 0,
+                gamma=plan.use_srgb_gamma,
+                alpha_plane=plan.alpha_index,
+                in_gamma_mult=plan.in_gamma_mult,
+                out_gamma_mult=plan.out_gamma_mult,
+            )
+            x = reinterleave(
+                outp, c, vop.n_blocks * vop.tile, vop.n_out, hop.n_out
+            )
+            if fuse_quant or plan.is_out_float or return_predither:
+                return x
+            x3 = errdiff_dither_jnp(
+                x.reshape(vop.n_out, hop.n_out, c),
+                trunc_bits,
+                plan.out_type_max,
+            )
+            return x3.reshape(vop.n_out, hop.n_out * c).astype(out_dt)
+        if kind == "fused":
             from ..ops.pallas.fused_kernel import apply_fused_pallas
 
             # The fused kernel takes the RAW image and applies gamma,
@@ -290,20 +332,53 @@ def make_lancir_executor(
     in_exact_bf16 = plan.in_exact_bf16
     mode1, mode2 = resolve_modes(precision, in_exact_bf16)
 
-    use_fused = False
+    kind = "unfused"
     forder = "vh"
+    pop = None
     if pallas and mode1 != "exact":
-        from ..ops.pallas.fused_kernel import choose_fused
+        from ..ops.pallas.fused_kernel import choose_path
 
-        use_fused, forder = choose_fused(
-            vop, lop, mode1, mode2, False, c
+        kind, forder = choose_path(
+            vop, lop, None, mode1, mode2, False, c
         )
+        if kind == "planar":  # not currently selected; see choose_path
+            from ..ops.lanes import lane_block_banded
+
+            pop = lane_block_banded(plan.h, 1)
     mv, mh = (mode1, mode2) if forder == "vh" else (mode2, mode1)
 
     @jax.jit
     def run(src: jax.Array) -> jax.Array:
         # src is [h, w*c]; output is [new_h, new_w*c].
-        if use_fused:
+        if kind == "planar":
+            from ..ops.pallas.planar_kernel import (
+                apply_planar_pallas,
+                deinterleave,
+                plane_stride,
+                reinterleave,
+            )
+
+            hp = plane_stride(vop)
+            wp = max(w, pop.lanes_pad)
+            xp = deinterleave(src, h, w, c, hp, wp)
+            outp = apply_planar_pallas(
+                vop, pop, xp, c, mode1, mode2,
+                out_dtype=(
+                    out_dt if not plan.is_out_float else jnp.float32
+                ),
+                out_max=plan.clamp,
+                scale=plan.out_mul,
+                round_mode="even",
+            )
+            x = reinterleave(
+                outp, c, vop.n_blocks * vop.tile, vop.n_out, hop.n_out
+            )
+            if not plan.is_out_float:
+                return x
+            if plan.out_mul != 1.0:
+                x = x * jnp.float32(plan.out_mul)
+            return x
+        if kind == "fused":
             from ..ops.pallas.fused_kernel import apply_fused_pallas
 
             out2 = apply_fused_pallas(

@@ -50,13 +50,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def pick_tile(op: BandedOp) -> int:
-    """Choose the output tile size minimizing modeled MXU work.
+def pick_tile(op: BandedOp, bytes_per_el: int = 2) -> int:
+    """Choose the output tile size minimizing modeled kernel time.
 
-    Cost model: total FLOPs = n_blocks * tile * win where
-    win ~= tile * k + width.  Small tiles waste less on the dense
-    zero-fill of the band but leave the MXU sublane dim short; 8 rows is
-    the fp32 sublane minimum, so candidates start at 64.
+    Cost model per input column: MXU MACs = n_blocks * tile * win
+    (win ~= tile * k + width — small tiles waste less on the dense
+    zero-fill of the band) PLUS the window-fetch HBM time expressed in
+    MAC-equivalents (~120 MACs per byte at v5e peak-MAC/HBM-bandwidth
+    ratio): n_blocks * win * bytes.  The bandwidth term matters on
+    upsizing, where the alignment-rounded window makes small tiles
+    MAC-equal but double the overlapping-window traffic (and starve
+    the MXU's M dimension); 8 rows is the fp32 sublane minimum, so
+    candidates start at 64.
     """
     n_out = op.n_out
     if n_out <= 64:
@@ -66,7 +71,7 @@ def pick_tile(op: BandedOp) -> int:
     for tile in (64, 128, 256, 512):
         win = _round_up(int(math.ceil(tile * k)) + op.width + 8, 128)
         blocks = -(-n_out // tile)
-        cost = blocks * tile * win
+        cost = blocks * win * (tile + 120 * bytes_per_el)
         if best_cost is None or cost < best_cost * 0.98:
             best, best_cost = tile, cost
     return best

@@ -53,17 +53,22 @@ class LaneBlockedOp:
 
 
 def lane_block_banded(
-    op: BandedOp, c: int, tile: int | None = None, row_align: int = 128
+    op: BandedOp, c: int, tile: int | None = None, row_align: int | None = None
 ) -> LaneBlockedOp:
     """Build the lane-side blocked form.
 
     Window starts are aligned to ``row_align`` rows so that the lane
-    offset offs*c is a multiple of 128 for any channel count (Mosaic
-    lane-tiling requirement).  The default tile is the smallest
+    offset offs*c is a multiple of 128 (Mosaic lane-tiling
+    requirement); the loosest legal alignment is 128/gcd(c,128) rows —
+    e.g. 32 rows for 4-channel data — which shrinks the window
+    alignment slack (up to row_align-1 wasted leading pixels per
+    block, pure zero-tap MACs).  The default tile is the smallest
     multiple of 128/gcd(c,128) rows >= 64, so each output block spans a
     whole number of 128-lane tiles."""
+    step = 128 // int(np.gcd(c, 128))
+    if row_align is None:
+        row_align = step
     if tile is None:
-        step = 128 // int(np.gcd(c, 128))
         tile = step * max(1, -(-64 // step))
     n_out, width = op.n_out, op.width
     n_blocks = -(-n_out // tile)

@@ -259,6 +259,30 @@ def apply_fused_pallas(
     return out
 
 
+def choose_path(
+    vop: BlockedBandedOp,
+    lop: LaneBlockedOp,
+    pop,
+    mode1: str,
+    mode2: str,
+    gamma: bool,
+    c: int,
+) -> tuple[str, str]:
+    """(kind, order) with kind in {"planar", "fused", "unfused"}.
+
+    The planar2 kernel (ops/pallas/planar2_kernel.py) cuts the
+    horizontal MXU work by the channel count versus the interleaved
+    fused kernel (dense vs channel-diagonal taps) via an in-VMEM
+    lane-strided de-interleave of the inter-pass intermediate.
+    (The v1 planar kernel — whole-image [h,w,c]->[c,h,w] de-interleave
+    in HBM, ops/pallas/planar_kernel.py — measured 2x SLOWER than the
+    interleaved fused kernel on the 8K bench: the channels-minor
+    transpose costs more than the MACs it saves.  Kept for reference.)
+    """
+    use_fused, order = choose_fused(vop, lop, mode1, mode2, gamma, c)
+    return ("fused" if use_fused else "unfused"), order
+
+
 def choose_fused(
     vop: BlockedBandedOp,
     lop: LaneBlockedOp,
@@ -270,34 +294,35 @@ def choose_fused(
     """(use_fused, order): route between the fused two-pass kernel and
     the two-kernel pipeline (_separable_pass_lanes).
 
-    Empirical rule from on-chip measurements (v5e, device-time ms):
+    Empirical rule from on-chip measurements (v5e, device-time ms,
+    with the bandwidth-aware pick_tile of ops/banded.py):
 
       config                      unfused  fused-vh  fused-hv
       8K->1080p u8 RGB              1.058     0.861     1.923
-      4K->8K u16 RGBA gamma         8.564    13.719    16.106
-      4K->8K u8 RGB                 4.971     4.304     5.094
-      VGA->XGA u8 RGB               0.065     0.108     0.126
+      4K->8K u16 RGBA gamma         7.236     9.857     9.543
+      4K->8K u8 RGB                 3.966     3.612     2.907
+      VGA->XGA u8 RGB               0.057     0.088     0.073
 
     Fusion removes the f32 intermediate's HBM round trip but pays
-    (a) window-overlap recompute of the first pass, amplified on
-    upsizing where windows are alignment-padded (Wv pinned at 128),
-    (b) in-kernel gamma recomputed over those overlapping windows, and
-    (c) lower MXU efficiency than the single-pass kernels' long-M
-    matmuls.  Downsizing always wins with fusion; upsizing only when
-    the first pass is split2 (8-bit-exact input, no gamma) and the
-    output is large enough to amortize (c).  H-first order never won
-    under the current blocking (the padded V window is never smaller
-    than the V tile); the kernel keeps the path for future tile
-    tuning.  mode1 applies to whichever pass touches the raw input.
+    (a) window-overlap recompute of the first pass and (b) in-kernel
+    gamma recomputed over those overlapping windows.  Downsizing
+    always wins with V-first fusion (the V pass shrinks rows before
+    the wide horizontal matmul); upsizing wins with H-FIRST fusion
+    (the H matmul runs on the window's fewer input rows) when the
+    first pass is split2 (8-bit-exact input, no gamma) and the output
+    is large enough to amortize the recompute.  mode1 applies to
+    whichever pass touches the raw input.
     """
     del mode2
-    if not fused_viable(vop, lop, "vh"):
-        return False, "vh"
     downsize = vop.n_out * lop.n_out <= vop.n_in * lop.n_in
     if downsize:
-        return True, "vh"
+        return fused_viable(vop, lop, "vh"), "vh"
     big = vop.n_out * lop.n_out * c >= 8_000_000
-    return (mode1 == "split2" and not gamma and big), "vh"
+    use = (
+        mode1 == "split2" and not gamma and big
+        and fused_viable(vop, lop, "hv")
+    )
+    return use, "hv" if use else "vh"
 
 
 def fused_viable(

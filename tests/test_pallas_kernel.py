@@ -176,6 +176,199 @@ def test_fused_kernel_hv_order_upsize():
     np.testing.assert_allclose(out, ref, atol=np.abs(ref).max() * 1e-4)
 
 
+def test_planar_fused_kernel():
+    """Planar (de-interleaved) fused kernel vs the exact two-stage
+    route, u8 RGB downsize."""
+    from avir_tpu.ops.lanes import lane_block_banded
+    from avir_tpu.ops.pallas.planar_kernel import (
+        apply_planar_pallas,
+        deinterleave,
+        plane_stride,
+        reinterleave,
+    )
+
+    plan = build_resize_plan(200, 150, 80, 60, 3, np.uint8, np.uint8)
+    vop = block_banded(plan.v.op)
+    hop = block_banded(plan.h.op)
+    pop = lane_block_banded(plan.h.op, 1)
+    x = xorshift128_fill((150, 600), np.uint8, 55)
+
+    v = apply_blocked(vop, jnp.asarray(x, jnp.float32), "exact")[:60]
+    t = (
+        np.asarray(v).reshape(60, 200, 3).transpose(1, 0, 2)
+        .reshape(200, 180)
+    )
+    ref = (
+        np.asarray(apply_blocked(hop, jnp.asarray(t), "exact"))
+        .reshape(80, 60, 3).transpose(1, 0, 2).reshape(60, 240)
+    )
+
+    hp = plane_stride(vop)
+    wp = max(200, pop.lanes_pad)
+    xp = deinterleave(jnp.asarray(x), 150, 200, 3, hp, wp)
+    outp = apply_planar_pallas(
+        vop, pop, xp, 3, "split2", "split3", interpret=True
+    )
+    out = np.asarray(
+        reinterleave(outp, 3, vop.n_blocks * vop.tile, 60, 80)
+    )
+    np.testing.assert_allclose(out, ref, atol=np.abs(ref).max() * 1e-4)
+
+    outq = apply_planar_pallas(
+        vop, pop, xp, 3, "split2", "split3",
+        out_dtype=jnp.uint8, interpret=True,
+    )
+    outq = np.asarray(
+        reinterleave(outq, 3, vop.n_blocks * vop.tile, 60, 80)
+    )
+    refq = np.clip(np.floor(ref + 0.5), 0, 255).astype(np.uint8)
+    assert np.abs(outq.astype(int) - refq.astype(int)).max() <= 1
+
+
+def test_planar_fused_kernel_gamma_alpha():
+    """Planar fused kernel with in-kernel gamma: the alpha plane is a
+    whole-plane bypass (u16 RGBA upsize)."""
+    from avir_tpu.ops.gamma import linear_to_srgb_2d, srgb_to_linear_2d
+    from avir_tpu.ops.lanes import lane_block_banded
+    from avir_tpu.ops.pallas.planar_kernel import (
+        apply_planar_pallas,
+        deinterleave,
+        plane_stride,
+        reinterleave,
+    )
+
+    plan = build_resize_plan(
+        96, 80, 144, 120, 4, np.uint16, np.uint16,
+        res_bit_depth=16, use_srgb_gamma=True, alpha_index=3,
+    )
+    vop = block_banded(plan.v.op)
+    hop = block_banded(plan.h.op)
+    pop = lane_block_banded(plan.h.op, 1)
+    x = xorshift128_fill((80, 384), np.uint16, 91)
+
+    lin = srgb_to_linear_2d(
+        jnp.asarray(x, jnp.float32) * jnp.float32(plan.in_gamma_mult),
+        4, 3,
+    )
+    v = apply_blocked(vop, lin, "exact")[:120]
+    t = (
+        np.asarray(v).reshape(120, 96, 4).transpose(1, 0, 2)
+        .reshape(96, 480)
+    )
+    ref = (
+        np.asarray(apply_blocked(hop, jnp.asarray(t), "exact"))
+        .reshape(144, 120, 4).transpose(1, 0, 2).reshape(120, 576)
+    )
+    ref = np.asarray(linear_to_srgb_2d(jnp.asarray(ref), 4, 3))
+    if plan.out_gamma_mult != 0.0:
+        ref = ref * plan.out_gamma_mult
+    refq = np.clip(np.floor(ref + 0.5), 0, 65535).astype(np.uint16)
+
+    hp = plane_stride(vop)
+    wp = max(96, pop.lanes_pad)
+    xp = deinterleave(jnp.asarray(x), 80, 96, 4, hp, wp)
+    outp = apply_planar_pallas(
+        vop, pop, xp, 4, "split3", "split3",
+        out_dtype=jnp.uint16, out_max=65535.0,
+        gamma=True, alpha_plane=3,
+        in_gamma_mult=plan.in_gamma_mult,
+        out_gamma_mult=plan.out_gamma_mult,
+        interpret=True,
+    )
+    out = np.asarray(
+        reinterleave(outp, 4, vop.n_blocks * vop.tile, 120, 144)
+    ).reshape(120, 144, 4).reshape(120, 576)
+    assert np.abs(out.astype(int) - refq.astype(int)).max() <= 24
+
+
+def test_planar2_fused_kernel():
+    """In-VMEM de-interleave kernel (planar2) vs exact route, u8 RGB."""
+    from avir_tpu.ops.lanes import lane_block_banded
+    from avir_tpu.ops.pallas.planar2_kernel import (
+        apply_planar2_pallas,
+        regroup_channels,
+    )
+
+    plan = build_resize_plan(200, 150, 80, 60, 3, np.uint8, np.uint8)
+    vop = block_banded(plan.v.op)
+    hop = block_banded(plan.h.op)
+    pop = lane_block_banded(plan.h.op, 1)
+    x = xorshift128_fill((150, 600), np.uint8, 60)
+
+    v = apply_blocked(vop, jnp.asarray(x, jnp.float32), "exact")[:60]
+    t = (
+        np.asarray(v).reshape(60, 200, 3).transpose(1, 0, 2)
+        .reshape(200, 180)
+    )
+    ref = (
+        np.asarray(apply_blocked(hop, jnp.asarray(t), "exact"))
+        .reshape(80, 60, 3).transpose(1, 0, 2).reshape(60, 240)
+    )
+
+    outg = apply_planar2_pallas(
+        vop, pop, jnp.asarray(x), 3, "split2", "split3",
+        interpret=True,
+    )
+    out = np.asarray(regroup_channels(outg, 3, pop.tile, 60, 80))
+    np.testing.assert_allclose(out, ref, atol=np.abs(ref).max() * 1e-4)
+
+    outq = apply_planar2_pallas(
+        vop, pop, jnp.asarray(x), 3, "split2", "split3",
+        out_dtype=jnp.uint8, interpret=True,
+    )
+    outq = np.asarray(regroup_channels(outq, 3, pop.tile, 60, 80))
+    refq = np.clip(np.floor(ref + 0.5), 0, 255).astype(np.uint8)
+    assert np.abs(outq.astype(int) - refq.astype(int)).max() <= 1
+
+
+def test_planar2_fused_kernel_gamma_alpha():
+    """planar2 with in-kernel gamma + alpha bypass (u16 RGBA)."""
+    from avir_tpu.ops.gamma import linear_to_srgb_2d, srgb_to_linear_2d
+    from avir_tpu.ops.lanes import lane_block_banded
+    from avir_tpu.ops.pallas.planar2_kernel import (
+        apply_planar2_pallas,
+        regroup_channels,
+    )
+
+    plan = build_resize_plan(
+        96, 80, 144, 120, 4, np.uint16, np.uint16,
+        res_bit_depth=16, use_srgb_gamma=True, alpha_index=3,
+    )
+    vop = block_banded(plan.v.op)
+    hop = block_banded(plan.h.op)
+    pop = lane_block_banded(plan.h.op, 1)
+    x = xorshift128_fill((80, 384), np.uint16, 92)
+
+    lin = srgb_to_linear_2d(
+        jnp.asarray(x, jnp.float32) * jnp.float32(plan.in_gamma_mult),
+        4, 3,
+    )
+    v = apply_blocked(vop, lin, "exact")[:120]
+    t = (
+        np.asarray(v).reshape(120, 96, 4).transpose(1, 0, 2)
+        .reshape(96, 480)
+    )
+    ref = (
+        np.asarray(apply_blocked(hop, jnp.asarray(t), "exact"))
+        .reshape(144, 120, 4).transpose(1, 0, 2).reshape(120, 576)
+    )
+    ref = np.asarray(linear_to_srgb_2d(jnp.asarray(ref), 4, 3))
+    if plan.out_gamma_mult != 0.0:
+        ref = ref * plan.out_gamma_mult
+    refq = np.clip(np.floor(ref + 0.5), 0, 65535).astype(np.uint16)
+
+    outg = apply_planar2_pallas(
+        vop, pop, jnp.asarray(x), 4, "split3", "split3",
+        out_dtype=jnp.uint16, out_max=65535.0,
+        gamma=True, alpha_index=3,
+        in_gamma_mult=plan.in_gamma_mult,
+        out_gamma_mult=plan.out_gamma_mult,
+        interpret=True,
+    )
+    out = np.asarray(regroup_channels(outg, 4, pop.tile, 120, 144))
+    assert np.abs(out.astype(int) - refq.astype(int)).max() <= 24
+
+
 def test_fused_kernel_gamma_alpha():
     """Fused kernel with in-kernel sRGB gamma (u16 RGBA, alpha bypass)
     vs the unfused route (gamma -> exact passes -> gamma-out)."""

@@ -1,5 +1,9 @@
-"""TPU probe: unfused vs fused-vh vs fused-hv on up/downsize configs."""
+"""TPU probe: unfused vs fused-vh/hv vs planar on up/downsize configs."""
 import functools
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -71,9 +75,28 @@ def probe(name, sw, sh, nw, nh, c, dt, gamma=False, alpha_index=-1, bits=None):
         y = jnp.clip(jnp.floor(y + 0.5), 0, plan.out_type_max)
         return y.astype(out_dt)
 
+    from avir_tpu.ops.pallas.planar2_kernel import (
+        apply_planar2_pallas, regroup_channels,
+    )
+
+    pop = lane_block_banded(plan.h.op, 1)
+
+    @jax.jit
+    def f_planar2(x):
+        o = apply_planar2_pallas(
+            vop, pop, x, c, mode1, mode2, out_dtype=out_dt,
+            out_max=plan.out_type_max, **gk)
+        return regroup_channels(
+            o, c, pop.tile, plan.new_h, plan.new_w
+        )
+
+    del f_planar2  # planar2 does not compile under Mosaic (no strided
+    # lane slices); keep the probe focused on working variants.
     mpix = nw * nh / 1e6
     res = {}
-    for tag, fn in (("unfused", f_unf), ("fused-vh", f_vh), ("fused-hv", f_hv)):
+    for tag, fn in (
+        ("unfused", f_unf), ("fused-vh", f_vh), ("fused-hv", f_hv),
+    ):
         try:
             ms, _ = device_ms(fn, d, n=5)
             res[tag] = ms
