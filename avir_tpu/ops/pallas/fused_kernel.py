@@ -295,12 +295,13 @@ def choose_fused(
     the two-kernel pipeline (_separable_pass_lanes).
 
     Empirical rule from on-chip measurements (v5e, device-time ms,
-    with the bandwidth-aware pick_tile of ops/banded.py):
+    with the bandwidth-aware pick_tile of ops/banded.py and the
+    gcd-based lane alignment of ops/lanes.py):
 
       config                      unfused  fused-vh  fused-hv
       8K->1080p u8 RGB              1.058     0.861     1.923
-      4K->8K u16 RGBA gamma         7.236     9.857     9.543
-      4K->8K u8 RGB                 3.966     3.612     2.907
+      4K->8K u16 RGBA gamma         6.119     6.770     6.696
+      4K->8K u8 RGB                 3.964     3.612     2.908
       VGA->XGA u8 RGB               0.057     0.088     0.073
 
     Fusion removes the f32 intermediate's HBM round trip but pays
