@@ -50,6 +50,11 @@ class LancIR:
         out_dtype = np.dtype(out_dtype)
         if new_w <= 0 or new_h <= 0:
             raise ValueError("target size must be positive")
+        if sw == 0 or sh == 0:
+            # Degenerate source: blank output (cf. lancir.h:392-425's
+            # argument validation / early-outs).
+            out = np.zeros((new_h, new_w, ch), dtype=out_dtype)
+            return out[:, :, 0] if squeeze else out
 
         key = (
             sw, sh, new_w, new_h, ch, src.dtype.str, out_dtype.str,

@@ -21,6 +21,31 @@ def test_resize_batch_matches_loop():
         assert np.abs(got[i].astype(int) - single.astype(int)).max() <= 1
 
 
+def test_degenerate_inputs():
+    """Degenerate-size behavior mirrors the reference: zero source ->
+    blank output (avir.h:4686-4697), zero target -> error, 1-pixel
+    sources resize by edge replication."""
+    import pytest
+
+    rz = avir_tpu.ImageResizer()
+    out = rz.resize(np.zeros((0, 0, 3), dtype=np.uint8), 8, 6)
+    assert out.shape == (6, 8, 3) and not out.any()
+    lz = avir_tpu.LancIR()
+    out = lz.resize(np.zeros((0, 5, 3), dtype=np.uint8), 8, 6)
+    assert out.shape == (6, 8, 3) and not out.any()
+    with pytest.raises(ValueError):
+        rz.resize(np.zeros((4, 4, 3), dtype=np.uint8), 0, 6)
+    with pytest.raises(ValueError):
+        lz.resize(np.zeros((4, 4, 3), dtype=np.uint8), 8, 0)
+
+    one = np.full((1, 1, 3), 200, dtype=np.uint8)
+    out = rz.resize(one, 5, 4)
+    assert out.shape == (4, 5, 3)
+    assert np.abs(out.astype(int) - 200).max() <= 1
+    out = lz.resize(one, 5, 4)
+    assert np.abs(out.astype(int) - 200).max() <= 1
+
+
 def test_plan_cache_roundtrip(tmp_path):
     kwargs = dict(
         src_w=97, src_h=61, new_w=151, new_h=83, el_count=3,
