@@ -138,6 +138,66 @@ def shard_v_op(
     )
 
 
+def shard_v_blocked(
+    op: BandedOp, n_dev: int, padded_h: int, tile: int | None = None
+) -> ShardedVOp:
+    """Like ``shard_v_op`` but with 32-row-aligned local window starts,
+    matching the alignment contract of the Pallas kernels
+    (ops/pallas/*): per-device taps can then be fed straight into
+    ``apply_fused_pallas`` as the vertical operator, with the raw input
+    strip (+ exchanged halos) as the kernel input."""
+    from ..ops.banded import pick_tile
+
+    if tile is None:
+        tile = pick_tile(op)
+    base_sv = shard_v_op(op, n_dev, padded_h, tile=tile)
+    if base_sv.use_all_gather:
+        return base_sv
+    n_out, width = op.n_out, op.width
+    m, strip = base_sv.m, base_sv.strip
+    halo_lo, halo_hi = base_sv.halo_lo, base_sv.halo_hi
+    blocks = -(-m // tile)
+    starts = op.starts.astype(np.int64)
+
+    # 32-aligning the window starts can push them up to 31 rows lower;
+    # widen the window to keep every block's span covered.
+    win = 0
+    for b0 in range(0, n_out, tile):
+        b1 = min(b0 + tile, n_out)
+        win = max(win, int(starts[b1 - 1]) + width - int(starts[b0]))
+    win = _round_up(win + 31, 32)
+
+    offs = np.zeros((n_dev, blocks), dtype=np.int64)
+    taps = np.zeros((n_dev, blocks, tile, win), dtype=np.float32)
+    for d in range(n_dev):
+        base = d * strip - halo_lo
+        for b in range(blocks):
+            lo = d * m + b * tile
+            hi = min(lo + tile, n_out)
+            if lo >= n_out:
+                continue
+            off = ((int(starts[lo]) - base) // 32) * 32
+            assert off >= 0, (d, b, off)
+            offs[d, b] = off
+            for i in range(lo, hi):
+                c0 = int(starts[i]) - base - off
+                taps[d, b, i - lo, c0 : c0 + width] = op.taps[i]
+
+    return ShardedVOp(
+        n_in=op.n_in,
+        n_out=n_out,
+        strip=strip,
+        m=m,
+        halo_lo=halo_lo,
+        halo_hi=halo_hi,
+        win=win,
+        tile=tile,
+        offs=offs.astype(np.int32),
+        taps=taps,
+        use_all_gather=False,
+    )
+
+
 def _apply_local_blocked(
     x: jax.Array, offs: jax.Array, taps: jax.Array, mode: str
 ) -> jax.Array:
@@ -192,6 +252,14 @@ def pad_rows(src: np.ndarray, n_dev: int) -> np.ndarray:
     return np.pad(src, widths)
 
 
+def _use_pallas_strips(engine: str, interpret: bool) -> bool:
+    if engine == "xla":
+        return False
+    if engine == "pallas" or interpret:
+        return True
+    return jax.default_backend() not in ("cpu", "gpu")
+
+
 def make_sharded_avir_executor(
     plan: ResizePlan,
     mesh: Mesh,
@@ -199,6 +267,8 @@ def make_sharded_avir_executor(
     batch_axis: Optional[str] = None,
     precision: str = "auto",
     tile: int = 64,
+    engine: str = "auto",
+    interpret: bool = False,
 ) -> Callable[[jax.Array], jax.Array]:
     """Compile a ResizePlan into a sharded executor over ``mesh``.
 
@@ -207,6 +277,16 @@ def make_sharded_avir_executor(
     ``batch_axis`` is given.  Rows are sharded over ``rows_axis``, batch
     over ``batch_axis``.  Output is [new_h, new_w*C] (plus batch dim),
     row-sharded the same way.
+
+    On a TPU backend (``engine='auto'``/'pallas') each device runs the
+    SAME fused two-pass Pallas kernel as the single-chip path on its
+    raw strip plus exchanged halo rows: halos are ppermute'd on the raw
+    integer input (the cheapest representation), and pack/gamma/V/H/
+    quantize all happen inside the per-device kernel.  Per-chip work is
+    therefore identical to the single-chip hot path; the only additions
+    are the halo collectives.  ``engine='xla'`` keeps the portable
+    gather+matmul route (used on CPU meshes); ``interpret=True`` forces
+    the Pallas route in interpreter mode for CPU-mesh testing.
 
     Dither is the non-recursive default ditherer; error diffusion is
     inherently serial (the reference serializes it too, avir.h:5047-5068)
@@ -236,10 +316,72 @@ def make_sharded_avir_executor(
         else (jnp.uint8 if plan.out_type_max == 255.0 else jnp.uint16)
     )
 
-    offs_c = jnp.asarray(svop.offs)
-    taps_c = jnp.asarray(svop.taps)
     fwd = [(i, i + 1) for i in range(n_dev - 1)]
     bwd = [(i + 1, i) for i in range(n_dev - 1)]
+
+    pallas_strips = (
+        _use_pallas_strips(engine, interpret)
+        and precision != "exact"
+        and not svop.use_all_gather
+    )
+    if pallas_strips:
+        from ..ops.lanes import lane_block_banded
+        from ..ops.pallas.fused_kernel import apply_fused_pallas
+
+        svb = shard_v_blocked(plan.v.op, n_dev, padded_h)
+        lop = lane_block_banded(plan.h.op, c)
+        offs_c = jnp.asarray(svb.offs)
+        taps_c = jnp.asarray(svb.taps)
+        ext_rows = int(svb.offs.max()) + svb.win
+        blocks = svb.taps.shape[1]
+
+        def pallas_fn(x, v_offs, v_taps):
+            # x: RAW [strip, W*C] local rows.
+            v_offs, v_taps = v_offs[0], v_taps[0]
+            parts = []
+            if svb.halo_lo > 0:
+                parts.append(
+                    jax.lax.ppermute(x[-svb.halo_lo :], rows_axis, fwd)
+                )
+            parts.append(x)
+            if svb.halo_hi > 0:
+                parts.append(
+                    jax.lax.ppermute(x[: svb.halo_hi], rows_axis, bwd)
+                )
+            ext = jnp.concatenate(parts, axis=0)
+            th = v_taps.astype(jnp.bfloat16)
+            th = jax.lax.optimization_barrier(th)
+            tl = (v_taps - th.astype(jnp.float32)).astype(jnp.bfloat16)
+            from ..ops.banded import BlockedBandedOp
+
+            vop_local = BlockedBandedOp(
+                n_in=ext.shape[0],
+                n_out=svb.m,
+                n_in_pad=ext_rows,
+                tile=svb.tile,
+                win=svb.win,
+                offs=v_offs,
+                taps=v_taps,
+                taps_hi=th,
+                taps_lo=tl,
+            )
+            out2 = apply_fused_pallas(
+                vop_local, lop, ext, mode_first, mode_second,
+                out_dtype=(out_dt if not plan.is_out_float else jnp.float32),
+                out_max=plan.out_type_max,
+                trunc_bits=trunc_bits,
+                gamma=plan.use_srgb_gamma,
+                alpha_index=plan.alpha_index,
+                in_gamma_mult=plan.in_gamma_mult,
+                out_gamma_mult=plan.out_gamma_mult,
+                order="vh",
+                interpret=interpret,
+            )
+            return out2[: svb.m, : new_w * c]
+
+    else:
+        offs_c = jnp.asarray(svop.offs)
+        taps_c = jnp.asarray(svop.taps)
 
     def shard_fn(x, v_offs, v_taps):
         # x: [strip, W*C] local rows; v_offs [1, blocks]; v_taps [1, ...]
@@ -300,17 +442,21 @@ def make_sharded_avir_executor(
             y = default_dither_jnp(y, trunc_bits, plan.out_type_max)
         return y.astype(out_dt)
 
+    body = pallas_fn if pallas_strips else shard_fn
     const_spec = P(rows_axis)
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-
+    # axes annotation, which the checker would otherwise reject.
     if batch_axis is None:
         inner = jax.shard_map(
-            shard_fn,
+            body,
             mesh=mesh,
             in_specs=(P(rows_axis, None), const_spec, const_spec),
             out_specs=P(rows_axis, None),
+            check_vma=False,
         )
     else:
         inner = jax.shard_map(
-            jax.vmap(shard_fn, in_axes=(0, None, None)),
+            jax.vmap(body, in_axes=(0, None, None)),
             mesh=mesh,
             in_specs=(
                 P(batch_axis, rows_axis, None),
@@ -318,6 +464,7 @@ def make_sharded_avir_executor(
                 const_spec,
             ),
             out_specs=P(batch_axis, rows_axis, None),
+            check_vma=False,
         )
 
     @jax.jit
