@@ -113,8 +113,10 @@ def shard_v_op(
         base = 0 if use_all_gather else d * strip - halo_lo
         for b in range(blocks):
             lo = d * m + b * tile
-            hi = min(lo + tile, n_out)
-            if lo >= n_out:
+            # Clamp to this device's own rows: block rows past m are
+            # discarded by the executor's out[:m] slice.
+            hi = min(lo + tile, (d + 1) * m, n_out)
+            if lo >= min((d + 1) * m, n_out):
                 continue
             off = int(starts[lo]) - base
             assert off >= 0
@@ -167,16 +169,34 @@ def shard_v_blocked(
         win = max(win, int(starts[b1 - 1]) + width - int(starts[b0]))
     win = _round_up(win + 31, 32)
 
+    # 32-align the extended strip itself (by taking a few extra halo
+    # rows from the next device; taps there are zero so values are
+    # irrelevant), then pull windows left so offs+win fits inside it —
+    # otherwise the Pallas kernel zero-pads the strip, a full extra
+    # HBM copy (same trick as ops/banded.py:block_banded).
+    ext_len = halo_lo + strip + halo_hi
+    ext_pad = _round_up(ext_len, 32)
+    if ext_pad >= win and ext_pad - ext_len + halo_hi <= strip:
+        halo_hi += ext_pad - ext_len
+        max_off = ext_pad - win
+    else:
+        max_off = None  # tiny strip: accept the pad copy
+
     offs = np.zeros((n_dev, blocks), dtype=np.int64)
     taps = np.zeros((n_dev, blocks, tile, win), dtype=np.float32)
     for d in range(n_dev):
         base = d * strip - halo_lo
         for b in range(blocks):
             lo = d * m + b * tile
-            hi = min(lo + tile, n_out)
-            if lo >= n_out:
+            # Clamp to this device's own rows (see shard_v_op): rows
+            # past m are discarded, and giving them the next device's
+            # taps would widen the window past the strip.
+            hi = min(lo + tile, (d + 1) * m, n_out)
+            if lo >= min((d + 1) * m, n_out):
                 continue
             off = ((int(starts[lo]) - base) // 32) * 32
+            if max_off is not None:
+                off = min(off, max_off)
             assert off >= 0, (d, b, off)
             offs[d, b] = off
             for i in range(lo, hi):
@@ -332,7 +352,10 @@ def make_sharded_avir_executor(
         lop = lane_block_banded(plan.h.op, c)
         offs_c = jnp.asarray(svb.offs)
         taps_c = jnp.asarray(svb.taps)
-        ext_rows = int(svb.offs.max()) + svb.win
+        ext_rows = max(
+            int(svb.offs.max()) + svb.win,
+            svb.halo_lo + svb.strip + svb.halo_hi,
+        )
         blocks = svb.taps.shape[1]
 
         def pallas_fn(x, v_offs, v_taps):
