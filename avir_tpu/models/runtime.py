@@ -72,7 +72,7 @@ def _separable_pass_lanes(
 
     new_h, new_w = vop.n_out, lop.n_out
     flops_v = vop.n_blocks * vop.tile * vop.win
-    flops_h = lop.n_blocks * lop.win * lop.tile * c * c
+    flops_h = lop.n_blocks * lop.win_l * lop.tile * c
     cost_vh = flops_v * w * c + flops_h * new_h
     cost_hv = flops_h * h + flops_v * new_w * c
     if cost_vh <= cost_hv:

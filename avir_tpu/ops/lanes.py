@@ -7,13 +7,24 @@ copies that dominate the pipeline's HBM traffic.  This module instead
 builds, per output block, a dense RIGHT-multiplication matrix over the
 interleaved lane axis:
 
-    out[:, b*T*C : (b+1)*T*C] = x[:, offs[b]*C : offs[b]*C + win*C] @ B[b]
+    out[:, b*T*C : (b+1)*T*C] = x[:, offs_l[b] : offs_l[b] + win_l] @ B[b]
 
-with B[b][w*C + ch, t*C + ch] = taps[b*T + t, w] (zero across channels).
+with B[b][q*C + ch - offs_l[b], t*C + ch] = taps[b*T + t, q - start].
 The input is consumed in its natural layout and the output IS the final
 interleaved [rows, new_w*C] layout — no transposes anywhere.  The
 channel-diagonal structure wastes a factor C of MXU work, which is far
 cheaper than the transposes it replaces.
+
+Window starts are LANE-granular: ``offs_l`` holds multiples of 128
+LANES (the Mosaic lane-tiling requirement), not of 128/gcd(c,128)
+pixels.  For channel counts that don't divide 128 (C=3) a window may
+therefore start mid-pixel; the tap matrix absorbs the channel phase.
+This matters: pixel-granular 128-lane alignment for C=3 needs
+128-PIXEL steps, wasting up to 127 pixels (381 zero-tap lanes) of
+window per block — measured ~2x extra horizontal MXU work on upsizes.
+The only in-kernel consumer of channel phase is the C=4 alpha-bypass
+lane mask, and for C in {1,2,4} a 128-lane offset is always
+pixel-aligned, so window-local ``lane % c`` stays valid.
 
 This mirrors the reference's interleaved processing mode
 (packmode=0, avir.h:4569-4592), where taps are applied across
@@ -34,77 +45,69 @@ from .banded import _round_up
 
 @dataclasses.dataclass(frozen=True)
 class LaneBlockedOp:
-    """Right-multiplication lane form; all sizes in units of ROWS of the
-    original operator (multiply by ``c`` for lane counts)."""
+    """Right-multiplication lane form.  ``tile`` is in ROWS of the
+    original operator (output pixels per block); window geometry
+    (``offs_l``, ``win_l``, ``lanes_pad``) is in LANES."""
 
     n_in: int      # input length (rows of the banded op)
     n_out: int
     c: int         # interleaved channel count
     tile: int      # output rows per block
-    win: int       # input-window rows per block
+    win_l: int     # input-window LANES per block (multiple of 128)
     lanes_pad: int  # required input lanes incl. zero-pad
-    offs: jax.Array      # int32 [n_blocks] — window starts in ROWS
-    taps_hi: jax.Array   # bf16 [n_blocks, win*c, tile*c]
-    taps_lo: jax.Array   # bf16 [n_blocks, win*c, tile*c]
+    offs_l: jax.Array    # int32 [n_blocks] — window starts in LANES
+    taps_hi: jax.Array   # bf16 [n_blocks, win_l, tile*c]
+    taps_lo: jax.Array   # bf16 [n_blocks, win_l, tile*c]
 
     @property
     def n_blocks(self) -> int:
-        return self.offs.shape[0]
+        return self.offs_l.shape[0]
 
 
 def lane_block_banded(
-    op: BandedOp, c: int, tile: int | None = None, row_align: int | None = None
+    op: BandedOp, c: int, tile: int | None = None
 ) -> LaneBlockedOp:
     """Build the lane-side blocked form.
 
-    Window starts are aligned to ``row_align`` rows so that the lane
-    offset offs*c is a multiple of 128 (Mosaic lane-tiling
-    requirement); the loosest legal alignment is 128/gcd(c,128) rows —
-    e.g. 32 rows for 4-channel data — which shrinks the window
-    alignment slack (up to row_align-1 wasted leading pixels per
-    block, pure zero-tap MACs).  The default tile is the smallest
-    multiple of 128/gcd(c,128) rows >= 64, so each output block spans a
-    whole number of 128-lane tiles."""
+    Window starts are 128-LANE aligned (up to 127 lanes of zero-tap
+    slack per block).  The default tile is the smallest multiple of
+    128/gcd(c,128) rows >= 64, so each output block spans a whole
+    number of 128-lane tiles."""
     step = 128 // int(np.gcd(c, 128))
-    if row_align is None:
-        row_align = step
     if tile is None:
         tile = step * max(1, -(-64 // step))
     n_out, width = op.n_out, op.width
     n_blocks = -(-n_out // tile)
     starts = op.starts.astype(np.int64)
 
-    offs = np.empty(n_blocks, dtype=np.int64)
-    spans = np.empty(n_blocks, dtype=np.int64)
+    offs_l = np.empty(n_blocks, dtype=np.int64)
+    spans_l = np.empty(n_blocks, dtype=np.int64)
     for b in range(n_blocks):
         lo = b * tile
         hi = min(lo + tile, n_out)
-        offs[b] = (starts[lo] // row_align) * row_align
-        spans[b] = starts[hi - 1] + width - offs[b]
-    win = _round_up(int(spans.max()), 128 // max(1, np.gcd(c, 128)))
-    # Keep win*c a multiple of 128 lanes.
-    while (win * c) % 128:
-        win += 1
-    # Pull overrunning tail windows left (row_align-aligned) to avoid
+        offs_l[b] = (starts[lo] * c // 128) * 128
+        spans_l[b] = (starts[hi - 1] + width) * c - offs_l[b]
+    win_l = _round_up(int(spans_l.max()), 128)
+    # Pull overrunning tail windows left (128-lane aligned) to avoid
     # padding the input lanes.
-    max_off = (op.n_in - win) // row_align * row_align
+    max_off = (op.n_in * c - win_l) // 128 * 128
     if max_off >= 0 and int(
-        (spans + np.maximum(offs - max_off, 0)).max()
-    ) <= win:
-        offs -= np.maximum(offs - max_off, 0)
-    lanes_pad = (int(offs.max()) + win) * c
+        (spans_l + np.maximum(offs_l - max_off, 0)).max()
+    ) <= win_l:
+        offs_l -= np.maximum(offs_l - max_off, 0)
+    lanes_pad = int(offs_l.max()) + win_l
 
-    dense = np.zeros((n_blocks, win * c, tile * c), dtype=np.float32)
+    dense = np.zeros((n_blocks, win_l, tile * c), dtype=np.float32)
     for b in range(n_blocks):
         lo = b * tile
         hi = min(lo + tile, n_out)
         for i in range(lo, hi):
-            w0 = int(starts[i]) - int(offs[b])
+            s_l = int(starts[i]) * c - int(offs_l[b])
             t = i - lo
             for ch in range(c):
                 dense[
                     b,
-                    (w0 * c + ch) : ((w0 + width) * c + ch) : c,
+                    (s_l + ch) : (s_l + width * c + ch) : c,
                     t * c + ch,
                 ] = op.taps[i]
 
@@ -116,9 +119,9 @@ def lane_block_banded(
         n_out=n_out,
         c=c,
         tile=tile,
-        win=win,
+        win_l=win_l,
         lanes_pad=lanes_pad,
-        offs=jnp.asarray(offs, dtype=jnp.int32),
+        offs_l=jnp.asarray(offs_l, dtype=jnp.int32),
         taps_hi=taps_hi,
         taps_lo=taps_lo,
     )

@@ -254,7 +254,7 @@ def apply_fused_pallas(
             + Bv * Tv * Bh * TC * jnp.dtype(out_dtype).itemsize,
             transcendentals=0,
         ),
-    )(vop.offs // 32, (lop.offs * c) // 128, x,
+    )(vop.offs // 32, lop.offs_l // 128, x,
       vop.taps_hi, vop.taps_lo, lop.taps_hi, lop.taps_lo)
     return out
 

@@ -83,7 +83,7 @@ def apply_lanes_pallas(
         out_specs=pl.BlockSpec((row_tile, TC), lambda b, j, offs128: (j, b)),
     )
 
-    offs128 = (lop.offs * lop.c) // 128
+    offs128 = lop.offs_l // 128
     out = pl.pallas_call(
         functools.partial(_kernel, mode=mode),
         grid_spec=grid_spec,
@@ -108,13 +108,11 @@ def apply_lanes_xla(
     rows, lanes = x.shape
     if lop.lanes_pad > lanes:
         x = jnp.pad(x, ((0, 0), (0, lop.lanes_pad - lanes)))
-    offs = [int(v) for v in jax.device_get(lop.offs)]
-    wc = lop.win * lop.c
+    offs = [int(v) for v in jax.device_get(lop.offs_l)]
+    wc = lop.win_l
     outs = []
     for b in range(lop.n_blocks):
-        xw = jax.lax.slice(
-            x, (0, offs[b] * lop.c), (rows, offs[b] * lop.c + wc)
-        )
+        xw = jax.lax.slice(x, (0, offs[b]), (rows, offs[b] + wc))
         if mode == "split3":
             xh = xw.astype(jnp.bfloat16)
             xh_b = jax.lax.optimization_barrier(xh)

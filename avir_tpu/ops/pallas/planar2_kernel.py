@@ -216,7 +216,7 @@ def apply_planar2_pallas(
             + Bv * Tv * Bh * c * Th * jnp.dtype(out_dtype).itemsize,
             transcendentals=0,
         ),
-    )((vop.offs // 32), (pop.offs * c) // 128, x,
+    )((vop.offs // 32), (pop.offs_l * c) // 128, x,
       vop.taps_hi, vop.taps_lo, pop.taps_hi, pop.taps_lo)
     return out
 

@@ -202,7 +202,7 @@ def apply_planar_pallas(
             + c * Bv * Tv * Bh * Th * jnp.dtype(out_dtype).itemsize,
             transcendentals=0,
         ),
-    )(vop.offs // 32, pop.offs // 128, xp,
+    )(vop.offs // 32, pop.offs_l // 128, xp,
       vop.taps_hi, vop.taps_lo, pop.taps_hi, pop.taps_lo)
     return out
 
