@@ -296,13 +296,13 @@ def choose_fused(
 
     Empirical rule from on-chip measurements (v5e, device-time ms,
     with the bandwidth-aware pick_tile of ops/banded.py and the
-    gcd-based lane alignment of ops/lanes.py):
+    lane-granular window alignment of ops/lanes.py):
 
       config                      unfused  fused-vh  fused-hv
-      8K->1080p u8 RGB              1.058     0.861     1.923
-      4K->8K u16 RGBA gamma         6.119     6.770     6.696
-      4K->8K u8 RGB                 3.964     3.612     2.908
-      VGA->XGA u8 RGB               0.057     0.088     0.073
+      8K->1080p u8 RGB              0.949     0.688     1.530
+      4K->8K u16 RGBA gamma         6.119     6.772     6.697
+      4K->8K u8 RGB                 3.635     2.321     2.098
+      VGA->XGA u8 RGB               0.043     0.055     0.051
 
     Fusion removes the f32 intermediate's HBM round trip but pays
     (a) window-overlap recompute of the first pass and (b) in-kernel
