@@ -11,7 +11,10 @@ Precision tiers (see ops/banded.py for the split-bf16 scheme):
   - "auto" (default): error-free bf16 splitting — 2 MXU passes when the
     pass input is exact in bf16 (8-bit integers, no gamma), 3 otherwise.
     Matches the reference's default float32 arithmetic
-    (/root/reference/avir.h:4603) at integer-output tolerances.
+    (/root/reference/avir.h:4603) at integer-output tolerances.  For
+    u8-in / 8-bit-out / no-gamma plans on the fused Pallas route, auto
+    upgrades further to the MXU's int8 fixed-point mode (ops/intq.py):
+    2x the bf16 matmul rate at >= 64 dB vs the float64 oracle (<= 1 LSB).
   - "exact": full float32 accumulation (Precision.HIGHEST, 6 passes).
   - "fast": single-bf16 everywhere (2 passes, ~50 dB vs exact) for
     throughput-over-fidelity uses.
@@ -183,15 +186,28 @@ def make_avir_executor(
     out_bits = 8 if plan.out_type_max == 255.0 else 16
     trunc_bits = 0 if plan.is_out_float else out_bits - plan.res_bit_depth
 
+    # The MXU's int8 mode (ops/intq.py) halves matmul time at >= 65 dB
+    # vs the f64 oracle — eligible whenever the pipeline is u8-in /
+    # 8-bit-quantized-out with no gamma stage.
+    int8_ok = (
+        precision == "auto"
+        and in_exact_bf16
+        and not plan.is_out_float
+        and plan.out_type_max == 255.0
+    )
     kind = "unfused"
     forder = "vh"
     pop = None
     if pallas and mode1 != "exact":
         from ..ops.pallas.fused_kernel import choose_path
 
+        if int8_ok:
+            mode1 = mode2 = "int8"
         kind, forder = choose_path(
             vop, lop, None, mode1, mode2, plan.use_srgb_gamma, c
         )
+        if kind != "fused" and mode1 == "int8":
+            mode1, mode2 = resolve_modes(precision, in_exact_bf16)
         if kind == "planar":  # not currently selected; see choose_path
             from ..ops.lanes import lane_block_banded
 
@@ -332,15 +348,25 @@ def make_lancir_executor(
     in_exact_bf16 = plan.in_exact_bf16
     mode1, mode2 = resolve_modes(precision, in_exact_bf16)
 
+    int8_ok = (
+        precision == "auto"
+        and in_exact_bf16
+        and not plan.is_out_float
+        and plan.clamp == 255.0
+    )
     kind = "unfused"
     forder = "vh"
     pop = None
     if pallas and mode1 != "exact":
         from ..ops.pallas.fused_kernel import choose_path
 
+        if int8_ok:
+            mode1 = mode2 = "int8"
         kind, forder = choose_path(
             vop, lop, None, mode1, mode2, False, c
         )
+        if kind != "fused" and mode1 == "int8":
+            mode1, mode2 = resolve_modes(precision, in_exact_bf16)
         if kind == "planar":  # not currently selected; see choose_path
             from ..ops.lanes import lane_block_banded
 

@@ -29,6 +29,13 @@ splitting rather than slow full-f32 passes:
 ``mode='exact'`` falls back to full float32 (Precision.HIGHEST, 6
 passes) for verification.
 
+For u8-in / 8-bit-out pipelines the fused Pallas kernel additionally
+supports an MXU int8 mode (2x the bf16 rate): taps quantized to
+radix-128 two-limb s8 fixed point (ops/intq.py, limbs precomputed here
+as ``taps_q1``/``taps_q0``), input consumed as s8, intermediate
+re-quantized to 15 bits in VMEM — 5 int8 matmuls ~ 2.5 bf16-pass
+equivalents for the whole resize.
+
 Everything here is shape-static: offsets, window sizes and tap tensors
 are baked at plan time, so the resize function is traced once per
 (geometry, params) and cached by jit.
@@ -90,6 +97,12 @@ class BlockedBandedOp:
     taps: jax.Array      # f32 [n_blocks, tile, win]
     taps_hi: jax.Array   # bf16 — round(taps)
     taps_lo: jax.Array   # bf16 — round(taps - taps_hi)
+    # int8 fixed-point limbs (ops/intq.py); None when the op was built
+    # from traced arrays (sharded halo path) — int8 mode unavailable.
+    taps_q1: jax.Array | None = None  # s8 [n_blocks, tile, win]
+    taps_q0: jax.Array | None = None  # s8
+    q_shift: int = 0
+    l1_max: float = 0.0  # max_i sum_j |taps[i, j]| — output magnitude
 
     @property
     def n_blocks(self) -> int:
@@ -146,6 +159,12 @@ def block_banded(
     taps = jnp.asarray(dense)
     taps_hi = taps.astype(jnp.bfloat16)
     taps_lo = (taps - taps_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    from .intq import first_pass_overflow_safe, quantize_limbs
+
+    q1, q0, q_shift = quantize_limbs(dense)
+    if not first_pass_overflow_safe(q1, q0, contract_axis=2):
+        q1 = q0 = None  # pragma: no cover - pathological taps only
     return BlockedBandedOp(
         n_in=op.n_in,
         n_out=n_out,
@@ -156,6 +175,10 @@ def block_banded(
         taps=taps,
         taps_hi=taps_hi,
         taps_lo=taps_lo,
+        taps_q1=None if q1 is None else jnp.asarray(q1),
+        taps_q0=None if q0 is None else jnp.asarray(q0),
+        q_shift=q_shift,
+        l1_max=float(np.abs(dense).sum(axis=2).max()),
     )
 
 

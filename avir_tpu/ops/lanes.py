@@ -58,6 +58,11 @@ class LaneBlockedOp:
     offs_l: jax.Array    # int32 [n_blocks] — window starts in LANES
     taps_hi: jax.Array   # bf16 [n_blocks, win_l, tile*c]
     taps_lo: jax.Array   # bf16 [n_blocks, win_l, tile*c]
+    # int8 fixed-point limbs (ops/intq.py).
+    taps_q1: jax.Array | None = None  # s8 [n_blocks, win_l, tile*c]
+    taps_q0: jax.Array | None = None  # s8
+    q_shift: int = 0
+    l1_max: float = 0.0  # max_col sum |taps| — output magnitude bound
 
     @property
     def n_blocks(self) -> int:
@@ -114,6 +119,12 @@ def lane_block_banded(
     taps = jnp.asarray(dense)
     taps_hi = taps.astype(jnp.bfloat16)
     taps_lo = (taps - taps_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    from .intq import first_pass_overflow_safe, quantize_limbs
+
+    q1, q0, q_shift = quantize_limbs(dense)
+    if not first_pass_overflow_safe(q1, q0, contract_axis=1):
+        q1 = q0 = None  # pragma: no cover - pathological taps only
     return LaneBlockedOp(
         n_in=op.n_in,
         n_out=n_out,
@@ -124,4 +135,8 @@ def lane_block_banded(
         offs_l=jnp.asarray(offs_l, dtype=jnp.int32),
         taps_hi=taps_hi,
         taps_lo=taps_lo,
+        taps_q1=None if q1 is None else jnp.asarray(q1),
+        taps_q0=None if q0 is None else jnp.asarray(q0),
+        q_shift=q_shift,
+        l1_max=float(np.abs(dense).sum(axis=1).max()),
     )

@@ -62,12 +62,85 @@ def _linear_to_srgb(x, c, alpha_index):
     return srgb
 
 
+def _int8_limbs(q: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Split a 15-bit s32 value into balanced radix-128 s8 limbs
+    (exact: q == q1 * 128 + q0)."""
+    q1 = (q + 64) >> 7
+    q0 = q - (q1 << 7)
+    return q1.astype(jnp.int8), q0.astype(jnp.int8)
+
+
+def _int8_passes(
+    xw, tvh_ref, tvl_ref, thh_ref, thl_ref,
+    *, order, qv_shift, qh_shift, x_shift,
+):
+    """Both separable passes on the MXU's int8 mode (2x bf16 rate).
+
+    Taps are radix-128 two-limb fixed point (ops/intq.py); the u8
+    input is shifted to s8 and compensated with the taps' row sums;
+    the inter-pass intermediate is re-quantized in VMEM to a 15-bit
+    two-limb form (scale 2^x_shift, chosen at build time from the
+    first pass's L1 norm so the high limb fits s8).  The negligible
+    lo*lo cross term (~2^-13 relative) is dropped: 5 int8 matmuls
+    total = 2.5 bf16-pass equivalents, vs 5 for split2+split3.
+    """
+    xs = (xw.astype(jnp.int32) - 128).astype(jnp.int8)
+    q1v, q0v = tvh_ref[0], tvl_ref[0]  # s8 [T_v, win_v]
+    q1h, q0h = thh_ref[0], thl_ref[0]  # s8 [win_h*C, T_h*C]
+    if order == "vh":
+        m1 = jnp.dot(q1v, xs, preferred_element_type=jnp.int32)
+        m0 = jnp.dot(q0v, xs, preferred_element_type=jnp.int32)
+        rs1 = jnp.sum(q1v.astype(jnp.int32), axis=1, keepdims=True)
+        rs0 = jnp.sum(q0v.astype(jnp.int32), axis=1, keepdims=True)
+        # vq == (first pass result) * 2^qv_shift, exactly up to tap
+        # rounding; the rs terms undo the -128 input shift.
+        vq = (m1 << 7) + m0 + ((rs1 << 7) + rs0) * 128
+        sh = qv_shift - x_shift
+        x15 = (vq + (1 << (sh - 1))) >> sh
+        x1, x0 = _int8_limbs(x15)
+        n11 = jnp.dot(x1, q1h, preferred_element_type=jnp.int32)
+        n10 = jnp.dot(x0, q1h, preferred_element_type=jnp.int32)
+        n01 = jnp.dot(x1, q0h, preferred_element_type=jnp.int32)
+        second_shift = qh_shift
+    else:
+        n1 = jnp.dot(xs, q1h, preferred_element_type=jnp.int32)
+        n0 = jnp.dot(xs, q0h, preferred_element_type=jnp.int32)
+        cs1 = jnp.sum(q1h.astype(jnp.int32), axis=0, keepdims=True)
+        cs0 = jnp.sum(q0h.astype(jnp.int32), axis=0, keepdims=True)
+        hq = (n1 << 7) + n0 + ((cs1 << 7) + cs0) * 128
+        sh = qh_shift - x_shift
+        x15 = (hq + (1 << (sh - 1))) >> sh
+        x1, x0 = _int8_limbs(x15)
+        n11 = jnp.dot(q1v, x1, preferred_element_type=jnp.int32)
+        n10 = jnp.dot(q1v, x0, preferred_element_type=jnp.int32)
+        n01 = jnp.dot(q0v, x1, preferred_element_type=jnp.int32)
+        second_shift = qv_shift
+    # x15 * Q summed == out * 2^(x_shift + second_shift); recombine the
+    # limb products in f32 (s32 would overflow the <<14).
+    return (
+        n11.astype(jnp.float32) * 16384.0
+        + (n10 + n01).astype(jnp.float32) * 128.0
+    ) * jnp.float32(2.0 ** -(x_shift + second_shift))
+
+
 def _kernel(
     offv32_ref, offh128_ref, x_ref,
     tvh_ref, tvl_ref, thh_ref, thl_ref,
     out_ref, *, mode_v, mode_h, out_max, trunc_bits, scale, round_mode,
     c, gamma, alpha_index, in_gamma_mult, out_gamma_mult, order,
+    qv_shift=0, qh_shift=0, x_shift=0,
 ):
+    if mode_v == "int8":
+        acc = _int8_passes(
+            x_ref[...], tvh_ref, tvl_ref, thh_ref, thl_ref,
+            order=order, qv_shift=qv_shift, qh_shift=qh_shift,
+            x_shift=x_shift,
+        )
+        _finish(
+            acc, out_ref, out_max=out_max, trunc_bits=trunc_bits,
+            scale=scale, round_mode=round_mode,
+        )
+        return
     xw = x_ref[...]
     if xw.dtype in (jnp.uint8, jnp.uint16, jnp.int8, jnp.int16):
         xw = xw.astype(jnp.int32).astype(jnp.float32)
@@ -139,6 +212,13 @@ def _kernel(
         if out_gamma_mult != 0.0:
             acc = acc * jnp.float32(out_gamma_mult)
 
+    _finish(
+        acc, out_ref, out_max=out_max, trunc_bits=trunc_bits,
+        scale=scale, round_mode=round_mode,
+    )
+
+
+def _finish(acc, out_ref, *, out_max, trunc_bits, scale, round_mode):
     if out_ref.dtype != jnp.float32:
         # Fused output stage: optional scale, then round + clamp
         # (+ truncation) — the default ditherer (avir.h:4392) or
@@ -186,6 +266,27 @@ def apply_fused_pallas(
     c = lop.c
     Bv, Tv, Wv = vop.taps_hi.shape
     Bh, WC, TC = lop.taps_hi.shape
+
+    use_int8 = mode_v == "int8" or mode_h == "int8"
+    qv_shift = qh_shift = x_shift = 0
+    if use_int8:
+        if mode_v != mode_h:
+            raise ValueError("int8 mode applies to both passes")
+        if gamma or x.dtype != jnp.uint8:
+            raise ValueError("int8 mode requires raw u8 input, no gamma")
+        if vop.taps_q1 is None or lop.taps_q1 is None:
+            raise ValueError("operator lacks int8 limb taps")
+        qv_shift, qh_shift = vop.q_shift, lop.q_shift
+        first = vop if order == "vh" else lop
+        first_shift = qv_shift if order == "vh" else qh_shift
+        x_shift = _int8_x_shift(first.l1_max, first_shift)
+        if x_shift < 1:
+            raise ValueError("int8 mode infeasible for these taps")
+        tv_a, tv_b = vop.taps_q1, vop.taps_q0
+        th_a, th_b = lop.taps_q1, lop.taps_q0
+    else:
+        tv_a, tv_b = vop.taps_hi, vop.taps_lo
+        th_a, th_b = lop.taps_hi, lop.taps_lo
 
     need_rows = vop.n_in_pad
     need_lanes = lop.lanes_pad
@@ -244,6 +345,9 @@ def apply_fused_pallas(
             in_gamma_mult=in_gamma_mult,
             out_gamma_mult=out_gamma_mult,
             order=order,
+            qv_shift=qv_shift,
+            qh_shift=qh_shift,
+            x_shift=x_shift,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Bv * Tv, Bh * TC), out_dtype),
@@ -254,8 +358,7 @@ def apply_fused_pallas(
             + Bv * Tv * Bh * TC * jnp.dtype(out_dtype).itemsize,
             transcendentals=0,
         ),
-    )(vop.offs // 32, lop.offs_l // 128, x,
-      vop.taps_hi, vop.taps_lo, lop.taps_hi, lop.taps_lo)
+    )(vop.offs // 32, lop.offs_l // 128, x, tv_a, tv_b, th_a, th_b)
     return out
 
 
@@ -304,18 +407,33 @@ def choose_fused(
       4K->8K u8 RGB                 3.635     2.321     2.098
       VGA->XGA u8 RGB               0.043     0.055     0.051
 
+    and for the int8 fixed-point mode (u8-in / 8-bit-out, fused-only):
+
+      config                      fused-vh  fused-hv
+      8K->1080p u8 RGB               0.478
+      4K->8K u8 RGB                  1.689     1.641
+      1080p->4K u8 RGB               0.416     0.405
+      VGA->XGA u8 RGB                0.039     0.038
+
     Fusion removes the f32 intermediate's HBM round trip but pays
     (a) window-overlap recompute of the first pass and (b) in-kernel
     gamma recomputed over those overlapping windows.  Downsizing
     always wins with V-first fusion (the V pass shrinks rows before
     the wide horizontal matmul); upsizing wins with H-FIRST fusion
     (the H matmul runs on the window's fewer input rows) when the
-    first pass is split2 (8-bit-exact input, no gamma) and the output
-    is large enough to amortize the recompute.  mode1 applies to
-    whichever pass touches the raw input.
+    first pass reads the raw integer image cheaply (split2/int8, no
+    gamma).  In int8 mode the fused kernel beats the (bf16) unfused
+    route at every measured size, so it is used whenever viable.
+    mode1 applies to whichever pass touches the raw input.
     """
     del mode2
     downsize = vop.n_out * lop.n_out <= vop.n_in * lop.n_in
+    if mode1 == "int8":
+        order = "vh" if downsize else "hv"
+        use = int8_feasible(vop, lop, order) and fused_viable(
+            vop, lop, order
+        )
+        return use, order
     if downsize:
         return fused_viable(vop, lop, "vh"), "vh"
     big = vop.n_out * lop.n_out * c >= 8_000_000
@@ -324,6 +442,32 @@ def choose_fused(
         and fused_viable(vop, lop, "hv")
     )
     return use, "hv" if use else "vh"
+
+
+def _int8_x_shift(first_l1_max: float, first_shift: int) -> int:
+    """Inter-pass 15-bit quantization scale: the high limb
+    (x15+64)>>7 must fit s8 for |y| <= 255 * l1_max of the first
+    pass, and the re-quantizing right shift must be positive."""
+    import math as _math
+
+    if first_l1_max <= 0.0:
+        return 0
+    x_shift = int(
+        _math.floor(_math.log2(16319.0 / (255.0 * first_l1_max)))
+    )
+    return min(x_shift, first_shift - 1)
+
+
+def int8_feasible(
+    vop: BlockedBandedOp, lop: LaneBlockedOp, order: str = "vh"
+) -> bool:
+    """Limb taps exist and the 15-bit intermediate scale is positive
+    (l1_max pathologically large would overflow the high limb)."""
+    if vop.taps_q1 is None or lop.taps_q1 is None:
+        return False
+    first = vop if order == "vh" else lop
+    first_shift = vop.q_shift if order == "vh" else lop.q_shift
+    return _int8_x_shift(first.l1_max, first_shift) >= 1
 
 
 def fused_viable(

@@ -176,6 +176,78 @@ def test_fused_kernel_hv_order_upsize():
     np.testing.assert_allclose(out, ref, atol=np.abs(ref).max() * 1e-4)
 
 
+def test_fused_kernel_int8_mode():
+    """MXU-int8 fixed-point route (ops/intq.py) vs the exact route:
+    quantized output within 1 LSB, both pass orders."""
+    from avir_tpu.ops.lanes import lane_block_banded
+    from avir_tpu.ops.pallas.fused_kernel import apply_fused_pallas
+
+    for sw, sh, nw, nh, order, seed in (
+        (200, 150, 80, 60, "vh", 21),
+        (80, 60, 200, 150, "hv", 77),
+    ):
+        plan = build_resize_plan(sw, sh, nw, nh, 3, np.uint8, np.uint8)
+        vop = block_banded(plan.v.op)
+        hop = block_banded(plan.h.op)
+        lop = lane_block_banded(plan.h.op, 3)
+        x = xorshift128_fill((sh, sw * 3), np.uint8, seed)
+
+        v = apply_blocked(vop, jnp.asarray(x, jnp.float32), "exact")[:nh]
+        t = (
+            np.asarray(v).reshape(nh, sw, 3).transpose(1, 0, 2)
+            .reshape(sw, nh * 3)
+        )
+        ref = (
+            np.asarray(apply_blocked(hop, jnp.asarray(t), "exact"))
+            .reshape(nw, nh, 3).transpose(1, 0, 2).reshape(nh, nw * 3)
+        )
+        refq = np.clip(np.floor(ref + 0.5), 0, 255).astype(np.uint8)
+
+        outq = np.asarray(
+            apply_fused_pallas(
+                vop, lop, jnp.asarray(x), "int8", "int8",
+                out_dtype=jnp.uint8, order=order, interpret=True,
+            )
+        )[:nh, :nw * 3]
+        assert np.abs(outq.astype(int) - refq.astype(int)).max() <= 1
+
+
+def test_int8_limb_quantization_exact():
+    """Two-limb radix-128 split reconstructs round(taps * 2^shift)."""
+    from avir_tpu.ops.intq import quantize_limbs
+
+    rng = np.random.default_rng(5)
+    taps = rng.standard_normal((7, 33)) * 1.4
+    q1, q0, shift = quantize_limbs(taps)
+    q = q1.astype(np.int64) * 128 + q0.astype(np.int64)
+    np.testing.assert_array_equal(
+        q, np.round(taps * (1 << shift)).astype(np.int64)
+    )
+    assert np.abs(q - taps * (1 << shift)).max() <= 0.5
+
+
+def test_int8_mode_rejects_ineligible_inputs():
+    """int8 mode is u8-in only, both passes together, no gamma."""
+    import pytest
+
+    from avir_tpu.ops.lanes import lane_block_banded
+    from avir_tpu.ops.pallas.fused_kernel import apply_fused_pallas
+
+    plan = build_resize_plan(64, 48, 32, 24, 3, np.uint8, np.uint8)
+    vop = block_banded(plan.v.op)
+    lop = lane_block_banded(plan.h.op, 3)
+    xf = jnp.zeros((48, 192), jnp.float32)
+    xu = jnp.zeros((48, 192), jnp.uint8)
+    with pytest.raises(ValueError):
+        apply_fused_pallas(vop, lop, xf, "int8", "int8", interpret=True)
+    with pytest.raises(ValueError):
+        apply_fused_pallas(vop, lop, xu, "int8", "split3", interpret=True)
+    with pytest.raises(ValueError):
+        apply_fused_pallas(
+            vop, lop, xu, "int8", "int8", gamma=True, interpret=True
+        )
+
+
 def test_planar_fused_kernel():
     """Planar (de-interleaved) fused kernel vs the exact two-stage
     route, u8 RGB downsize."""
