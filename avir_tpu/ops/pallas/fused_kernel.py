@@ -84,7 +84,9 @@ def _int8_passes(
     lo*lo cross term (~2^-13 relative) is dropped: 5 int8 matmuls
     total = 2.5 bf16-pass equivalents, vs 5 for split2+split3.
     """
-    xs = (xw.astype(jnp.int32) - 128).astype(jnp.int8)
+    # u8 -> s8 (x - 128) as a bit flip of the MSB — one VPU op instead
+    # of an int32 round trip.
+    xs = jax.lax.bitcast_convert_type(xw ^ jnp.uint8(128), jnp.int8)
     q1v, q0v = tvh_ref[0], tvl_ref[0]  # s8 [T_v, win_v]
     q1h, q0h = thh_ref[0], thl_ref[0]  # s8 [win_h*C, T_h*C]
     if order == "vh":
