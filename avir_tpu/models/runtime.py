@@ -188,10 +188,12 @@ def make_avir_executor(
 
     # The MXU's int8 mode (ops/intq.py) halves matmul time at >= 65 dB
     # vs the f64 oracle — eligible whenever the pipeline is u8-in /
-    # 8-bit-quantized-out with no gamma stage.
+    # 8-bit-quantized-out.  With gamma the kernel linearizes on the
+    # VPU and quantizes to 13-bit linear light (fused_kernel.py).
     int8_ok = (
         precision == "auto"
-        and in_exact_bf16
+        and not plan.is_in_float
+        and plan.in_type_max == 255.0
         and not plan.is_out_float
         and plan.out_type_max == 255.0
     )

@@ -103,6 +103,10 @@ class BlockedBandedOp:
     taps_q0: jax.Array | None = None  # s8
     q_shift: int = 0
     l1_max: float = 0.0  # max_i sum_j |taps[i, j]| — output magnitude
+    # Max per-output abs limb sums along the contraction — s32
+    # overflow bounds for the fused kernel's gamma int8 path.
+    q_abs1: int = 0
+    q_abs0: int = 0
 
     @property
     def n_blocks(self) -> int:
@@ -179,6 +183,12 @@ def block_banded(
         taps_q0=None if q0 is None else jnp.asarray(q0),
         q_shift=q_shift,
         l1_max=float(np.abs(dense).sum(axis=2).max()),
+        q_abs1=0 if q1 is None else int(
+            np.abs(q1.astype(np.int64)).sum(axis=2).max()
+        ),
+        q_abs0=0 if q0 is None else int(
+            np.abs(q0.astype(np.int64)).sum(axis=2).max()
+        ),
     )
 
 

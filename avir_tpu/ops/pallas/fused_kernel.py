@@ -70,49 +70,82 @@ def _int8_limbs(q: jax.Array) -> tuple[jax.Array, jax.Array]:
     return q1.astype(jnp.int8), q0.astype(jnp.int8)
 
 
+# Input-linearization scale for the gamma int8 path: linear-light
+# values lie in [0, 1], so round(lin * 2^13) <= 8192 fits the two-limb
+# form, and the 2^-14 quantization error maps to <= 0.2 u8 LSB through
+# the steepest part of the sRGB curve (slope 12.92, avir.h:299-310).
+_GAMMA_IN_BITS = 13
+
+
 def _int8_passes(
     xw, tvh_ref, tvl_ref, thh_ref, thl_ref,
     *, order, qv_shift, qh_shift, x_shift,
+    gamma, c, alpha_index, in_gamma_mult,
 ):
     """Both separable passes on the MXU's int8 mode (2x bf16 rate).
 
     Taps are radix-128 two-limb fixed point (ops/intq.py); the u8
-    input is shifted to s8 and compensated with the taps' row sums;
-    the inter-pass intermediate is re-quantized in VMEM to a 15-bit
-    two-limb form (scale 2^x_shift, chosen at build time from the
-    first pass's L1 norm so the high limb fits s8).  The negligible
-    lo*lo cross term (~2^-13 relative) is dropped: 5 int8 matmuls
-    total = 2.5 bf16-pass equivalents, vs 5 for split2+split3.
+    input is shifted to s8 and compensated with the taps' row sums
+    (or, with gamma, linearized on the VPU and quantized to 14-bit
+    two-limb fixed point); the inter-pass intermediate is re-quantized
+    in VMEM to a 15-bit two-limb form (scale 2^x_shift, chosen at
+    build time from the first pass's L1 norm so the high limb fits
+    s8).  The negligible lo*lo cross terms (~2^-13 relative) are
+    dropped: 5 (6 with gamma) int8 matmuls total = 2.5-3 bf16-pass
+    equivalents, vs 5-6 for the bf16 splits.
     """
-    # u8 -> s8 (x - 128) as a bit flip of the MSB — one VPU op instead
-    # of an int32 round trip.
-    xs = jax.lax.bitcast_convert_type(xw ^ jnp.uint8(128), jnp.int8)
     q1v, q0v = tvh_ref[0], tvl_ref[0]  # s8 [T_v, win_v]
     q1h, q0h = thh_ref[0], thl_ref[0]  # s8 [win_h*C, T_h*C]
+    qf1, qf0 = (q1v, q0v) if order == "vh" else (q1h, q0h)
+
+    def first_dot(a, b):
+        if order == "vh":
+            return jnp.dot(a, b, preferred_element_type=jnp.int32)
+        return jnp.dot(b, a, preferred_element_type=jnp.int32)
+
+    if gamma:
+        # Fused pack stage (avir.h:208-220) in f32 on the VPU, then
+        # re-quantized: first pass costs 3 int8 matmuls.  (Mosaic has
+        # no direct u8 -> f32 cast; hop through int32.)
+        lin = _srgb_to_linear(
+            xw.astype(jnp.int32).astype(jnp.float32)
+            * jnp.float32(in_gamma_mult),
+            c, alpha_index,
+        )
+        xq = jnp.round(lin * float(1 << _GAMMA_IN_BITS)).astype(
+            jnp.int32
+        )
+        xq1, xq0 = _int8_limbs(xq)
+        m11 = first_dot(qf1, xq1)
+        m10 = first_dot(qf1, xq0)
+        m01 = first_dot(qf0, xq1)
+        # == (first pass result) * 2^(first_bits), tap rounding aside.
+        fq = (m11 << 14) + ((m10 + m01) << 7)
+        first_bits = _GAMMA_IN_BITS + (
+            qv_shift if order == "vh" else qh_shift
+        )
+    else:
+        # u8 -> s8 (x - 128) as a bit flip of the MSB — one VPU op
+        # instead of an int32 round trip; the row-sum terms undo the
+        # -128 shift.  First pass costs 2 int8 matmuls.
+        xs = jax.lax.bitcast_convert_type(xw ^ jnp.uint8(128), jnp.int8)
+        m1 = first_dot(qf1, xs)
+        m0 = first_dot(qf0, xs)
+        axis = 1 if order == "vh" else 0
+        rs1 = jnp.sum(qf1.astype(jnp.int32), axis=axis, keepdims=True)
+        rs0 = jnp.sum(qf0.astype(jnp.int32), axis=axis, keepdims=True)
+        fq = (m1 << 7) + m0 + ((rs1 << 7) + rs0) * 128
+        first_bits = qv_shift if order == "vh" else qh_shift
+
+    sh = first_bits - x_shift
+    x15 = (fq + (1 << (sh - 1))) >> sh
+    x1, x0 = _int8_limbs(x15)
     if order == "vh":
-        m1 = jnp.dot(q1v, xs, preferred_element_type=jnp.int32)
-        m0 = jnp.dot(q0v, xs, preferred_element_type=jnp.int32)
-        rs1 = jnp.sum(q1v.astype(jnp.int32), axis=1, keepdims=True)
-        rs0 = jnp.sum(q0v.astype(jnp.int32), axis=1, keepdims=True)
-        # vq == (first pass result) * 2^qv_shift, exactly up to tap
-        # rounding; the rs terms undo the -128 input shift.
-        vq = (m1 << 7) + m0 + ((rs1 << 7) + rs0) * 128
-        sh = qv_shift - x_shift
-        x15 = (vq + (1 << (sh - 1))) >> sh
-        x1, x0 = _int8_limbs(x15)
         n11 = jnp.dot(x1, q1h, preferred_element_type=jnp.int32)
         n10 = jnp.dot(x0, q1h, preferred_element_type=jnp.int32)
         n01 = jnp.dot(x1, q0h, preferred_element_type=jnp.int32)
         second_shift = qh_shift
     else:
-        n1 = jnp.dot(xs, q1h, preferred_element_type=jnp.int32)
-        n0 = jnp.dot(xs, q0h, preferred_element_type=jnp.int32)
-        cs1 = jnp.sum(q1h.astype(jnp.int32), axis=0, keepdims=True)
-        cs0 = jnp.sum(q0h.astype(jnp.int32), axis=0, keepdims=True)
-        hq = (n1 << 7) + n0 + ((cs1 << 7) + cs0) * 128
-        sh = qh_shift - x_shift
-        x15 = (hq + (1 << (sh - 1))) >> sh
-        x1, x0 = _int8_limbs(x15)
         n11 = jnp.dot(q1v, x1, preferred_element_type=jnp.int32)
         n10 = jnp.dot(q1v, x0, preferred_element_type=jnp.int32)
         n01 = jnp.dot(q0v, x1, preferred_element_type=jnp.int32)
@@ -136,8 +169,14 @@ def _kernel(
         acc = _int8_passes(
             x_ref[...], tvh_ref, tvl_ref, thh_ref, thl_ref,
             order=order, qv_shift=qv_shift, qh_shift=qh_shift,
-            x_shift=x_shift,
+            x_shift=x_shift, gamma=gamma, c=c,
+            alpha_index=alpha_index, in_gamma_mult=in_gamma_mult,
         )
+        if gamma:
+            # Fused unpack stage: linear -> sRGB (avir.h:299-310).
+            acc = _linear_to_srgb(acc, c, alpha_index)
+            if out_gamma_mult != 0.0:
+                acc = acc * jnp.float32(out_gamma_mult)
         _finish(
             acc, out_ref, out_max=out_max, trunc_bits=trunc_bits,
             scale=scale, round_mode=round_mode,
@@ -274,14 +313,18 @@ def apply_fused_pallas(
     if use_int8:
         if mode_v != mode_h:
             raise ValueError("int8 mode applies to both passes")
-        if gamma or x.dtype != jnp.uint8:
-            raise ValueError("int8 mode requires raw u8 input, no gamma")
+        if x.dtype != jnp.uint8:
+            raise ValueError("int8 mode requires raw u8 input")
         if vop.taps_q1 is None or lop.taps_q1 is None:
             raise ValueError("operator lacks int8 limb taps")
         qv_shift, qh_shift = vop.q_shift, lop.q_shift
         first = vop if order == "vh" else lop
         first_shift = qv_shift if order == "vh" else qh_shift
-        x_shift = _int8_x_shift(first.l1_max, first_shift)
+        x_shift = _int8_x_shift(
+            first.l1_max,
+            first_shift + (_GAMMA_IN_BITS if gamma else 0),
+            in_max=1.0 if gamma else 255.0,
+        )
         if x_shift < 1:
             raise ValueError("int8 mode infeasible for these taps")
         tv_a, tv_b = vop.taps_q1, vop.taps_q0
@@ -409,13 +452,17 @@ def choose_fused(
       4K->8K u8 RGB                 3.635     2.321     2.098
       VGA->XGA u8 RGB               0.043     0.055     0.051
 
-    and for the int8 fixed-point mode (u8-in / 8-bit-out, fused-only):
+    and for the int8 fixed-point mode (u8-in / 8-bit-out, fused-only;
+    gamma rows vs the bf16-unfused gamma route):
 
-      config                      fused-vh  fused-hv
-      8K->1080p u8 RGB               0.478
-      4K->8K u8 RGB                  1.689     1.641
-      1080p->4K u8 RGB               0.416     0.405
-      VGA->XGA u8 RGB                0.039     0.038
+      config                      unfused  fused-vh  fused-hv
+      8K->1080p u8 RGB                        0.478
+      4K->8K u8 RGB                           1.689     1.641
+      1080p->4K u8 RGB                        0.416     0.405
+      VGA->XGA u8 RGB                         0.039     0.038
+      8K->1080p u8 RGB gamma        2.111     1.846
+      1080p->4K u8 RGB gamma        0.809               0.830
+      VGA->XGA u8 RGB gamma         0.073               0.076
 
     Fusion removes the f32 intermediate's HBM round trip but pays
     (a) window-overlap recompute of the first pass and (b) in-kernel
@@ -425,16 +472,23 @@ def choose_fused(
     (the H matmul runs on the window's fewer input rows) when the
     first pass reads the raw integer image cheaply (split2/int8, no
     gamma).  In int8 mode the fused kernel beats the (bf16) unfused
-    route at every measured size, so it is used whenever viable.
+    route at every measured size except gamma upsizes (the in-kernel
+    linearization recomputed over overlapping windows outweighs the
+    matmul saving), so it is used whenever viable except there.
     mode1 applies to whichever pass touches the raw input.
     """
     del mode2
     downsize = vop.n_out * lop.n_out <= vop.n_in * lop.n_in
     if mode1 == "int8":
         order = "vh" if downsize else "hv"
-        use = int8_feasible(vop, lop, order) and fused_viable(
+        use = int8_feasible(vop, lop, order, gamma) and fused_viable(
             vop, lop, order
         )
+        if gamma and not downsize:
+            # Measured: on gamma upsizes the in-kernel linearization
+            # recomputed over overlapping windows costs more than the
+            # int8 matmuls save; the bf16 unfused route wins.
+            use = False
         return use, order
     if downsize:
         return fused_viable(vop, lop, "vh"), "vh"
@@ -446,22 +500,30 @@ def choose_fused(
     return use, "hv" if use else "vh"
 
 
-def _int8_x_shift(first_l1_max: float, first_shift: int) -> int:
+def _int8_x_shift(
+    first_l1_max: float, first_bits: int, in_max: float = 255.0
+) -> int:
     """Inter-pass 15-bit quantization scale: the high limb
-    (x15+64)>>7 must fit s8 for |y| <= 255 * l1_max of the first
-    pass, and the re-quantizing right shift must be positive."""
+    (x15+64)>>7 must fit s8 for |y| <= in_max * l1_max of the first
+    pass (in_max is the input's value range: 255 raw, 1.0 linear
+    light), and the re-quantizing right shift must be positive.
+    first_bits is the first pass's total fixed-point scale (q_shift,
+    plus _GAMMA_IN_BITS when the input is quantized linear light)."""
     import math as _math
 
     if first_l1_max <= 0.0:
         return 0
     x_shift = int(
-        _math.floor(_math.log2(16319.0 / (255.0 * first_l1_max)))
+        _math.floor(_math.log2(16319.0 / (in_max * first_l1_max)))
     )
-    return min(x_shift, first_shift - 1)
+    return min(x_shift, first_bits - 1)
 
 
 def int8_feasible(
-    vop: BlockedBandedOp, lop: LaneBlockedOp, order: str = "vh"
+    vop: BlockedBandedOp,
+    lop: LaneBlockedOp,
+    order: str = "vh",
+    gamma: bool = False,
 ) -> bool:
     """Limb taps exist and the 15-bit intermediate scale is positive
     (l1_max pathologically large would overflow the high limb)."""
@@ -469,7 +531,24 @@ def int8_feasible(
         return False
     first = vop if order == "vh" else lop
     first_shift = vop.q_shift if order == "vh" else lop.q_shift
-    return _int8_x_shift(first.l1_max, first_shift) >= 1
+    if gamma:
+        # The gamma first pass recombines limb products with << 14:
+        # |xq limbs| <= 64, so the s32 bound is exact from the taps'
+        # per-output abs limb sums.
+        bound = (
+            (64 * first.q_abs1 << 14)
+            + (64 * (first.q_abs1 + first.q_abs0) << 7)
+            + (1 << 26)
+        )
+        if bound >= 2**31:
+            return False
+    first_bits = first_shift + (_GAMMA_IN_BITS if gamma else 0)
+    return (
+        _int8_x_shift(
+            first.l1_max, first_bits, in_max=1.0 if gamma else 255.0
+        )
+        >= 1
+    )
 
 
 def fused_viable(

@@ -227,7 +227,7 @@ def test_int8_limb_quantization_exact():
 
 
 def test_int8_mode_rejects_ineligible_inputs():
-    """int8 mode is u8-in only, both passes together, no gamma."""
+    """int8 mode is u8-in only, both passes together."""
     import pytest
 
     from avir_tpu.ops.lanes import lane_block_banded
@@ -242,10 +242,58 @@ def test_int8_mode_rejects_ineligible_inputs():
         apply_fused_pallas(vop, lop, xf, "int8", "int8", interpret=True)
     with pytest.raises(ValueError):
         apply_fused_pallas(vop, lop, xu, "int8", "split3", interpret=True)
-    with pytest.raises(ValueError):
-        apply_fused_pallas(
-            vop, lop, xu, "int8", "int8", gamma=True, interpret=True
+
+
+def test_fused_kernel_int8_gamma_mode():
+    """MXU-int8 route with the fused sRGB gamma stages vs the exact
+    linear-light route: quantized output within 1 LSB, both orders."""
+    from avir_tpu.ops.gamma import linear_to_srgb_2d, srgb_to_linear_2d
+    from avir_tpu.ops.lanes import lane_block_banded
+    from avir_tpu.ops.pallas.fused_kernel import apply_fused_pallas
+
+    for sw, sh, nw, nh, order, seed in (
+        (200, 150, 80, 60, "vh", 33),
+        (80, 60, 200, 150, "hv", 91),
+    ):
+        plan = build_resize_plan(
+            sw, sh, nw, nh, 3, np.uint8, np.uint8, use_srgb_gamma=True
         )
+        vop = block_banded(plan.v.op)
+        hop = block_banded(plan.h.op)
+        lop = lane_block_banded(plan.h.op, 3)
+        x = xorshift128_fill((sh, sw * 3), np.uint8, seed)
+
+        lin = srgb_to_linear_2d(
+            jnp.asarray(x, jnp.float32)
+            * jnp.float32(plan.in_gamma_mult),
+            3,
+            plan.alpha_index,
+        )
+        v = apply_blocked(vop, lin, "exact")[:nh]
+        t = (
+            np.asarray(v).reshape(nh, sw, 3).transpose(1, 0, 2)
+            .reshape(sw, nh * 3)
+        )
+        ref = (
+            np.asarray(apply_blocked(hop, jnp.asarray(t), "exact"))
+            .reshape(nw, nh, 3).transpose(1, 0, 2).reshape(nh, nw * 3)
+        )
+        ref = np.asarray(
+            linear_to_srgb_2d(jnp.asarray(ref), 3, plan.alpha_index)
+        ) * plan.out_gamma_mult
+        refq = np.clip(np.floor(ref + 0.5), 0, 255).astype(np.uint8)
+
+        outq = np.asarray(
+            apply_fused_pallas(
+                vop, lop, jnp.asarray(x), "int8", "int8",
+                out_dtype=jnp.uint8, order=order, gamma=True,
+                alpha_index=plan.alpha_index,
+                in_gamma_mult=plan.in_gamma_mult,
+                out_gamma_mult=plan.out_gamma_mult,
+                interpret=True,
+            )
+        )[:nh, :nw * 3]
+        assert np.abs(outq.astype(int) - refq.astype(int)).max() <= 1
 
 
 def test_planar_fused_kernel():
