@@ -76,6 +76,31 @@ def _int8_limbs(q: jax.Array) -> tuple[jax.Array, jax.Array]:
 # the steepest part of the sRGB curve (slope 12.92, avir.h:299-310).
 _GAMMA_IN_BITS = 13
 
+# Degree-7 least-squares fit (Chebyshev basis, converted to power
+# form) of the reference's pow(x, 2.4) sRGB segment (avir.h:162-174)
+# over the 245 u8 sample points above the linear cutoff: max |err|
+# 3.6e-6 in f32 Horner form — 8x inside the 13-bit quantization
+# budget, and division-free (the reference form's rational term costs
+# a VPU divide per element, the hot cost of the in-kernel pack stage).
+_U8_LIN_COEF = (
+    0.0008849456939997724, 0.034331778643864906, 0.4967742755734233,
+    0.7946677002602778, -0.6398338110899012, 0.5113014176950982,
+    -0.2526727088789862, 0.05454610085971551,
+)
+
+
+def _srgb_to_linear13_u8poly(x, c, alpha_index):
+    """round(srgb_to_linear(x) * 2^13) as s32, for x on the u8 grid
+    in [0, 1]; the 2^13 scale is folded into the coefficients."""
+    k = float(1 << _GAMMA_IN_BITS)
+    acc = jnp.float32(_U8_LIN_COEF[-1] * k)
+    for a in _U8_LIN_COEF[-2::-1]:
+        acc = acc * x + jnp.float32(a * k)
+    lin = jnp.where(x <= 0.04045, x * jnp.float32(k / 12.92), acc)
+    if alpha_index in (0, 3) and c == 4:
+        lin = jnp.where(_alpha_mask(x.shape, c, alpha_index), x * k, lin)
+    return jnp.round(lin).astype(jnp.int32)
+
 
 def _int8_passes(
     xw, tvh_ref, tvl_ref, thh_ref, thl_ref,
@@ -107,13 +132,10 @@ def _int8_passes(
         # Fused pack stage (avir.h:208-220) in f32 on the VPU, then
         # re-quantized: first pass costs 3 int8 matmuls.  (Mosaic has
         # no direct u8 -> f32 cast; hop through int32.)
-        lin = _srgb_to_linear(
+        xq = _srgb_to_linear13_u8poly(
             xw.astype(jnp.int32).astype(jnp.float32)
             * jnp.float32(in_gamma_mult),
             c, alpha_index,
-        )
-        xq = jnp.round(lin * float(1 << _GAMMA_IN_BITS)).astype(
-            jnp.int32
         )
         xq1, xq0 = _int8_limbs(xq)
         m11 = first_dot(qf1, xq1)
@@ -460,9 +482,9 @@ def choose_fused(
       4K->8K u8 RGB                           1.689     1.641
       1080p->4K u8 RGB                        0.416     0.405
       VGA->XGA u8 RGB                         0.039     0.038
-      8K->1080p u8 RGB gamma        2.111     1.846
-      1080p->4K u8 RGB gamma        0.809               0.830
-      VGA->XGA u8 RGB gamma         0.073               0.076
+      8K->1080p u8 RGB gamma        2.111     1.375
+      1080p->4K u8 RGB gamma        0.809               0.759
+      VGA->XGA u8 RGB gamma         0.073               0.069
 
     Fusion removes the f32 intermediate's HBM round trip but pays
     (a) window-overlap recompute of the first pass and (b) in-kernel
@@ -472,10 +494,10 @@ def choose_fused(
     (the H matmul runs on the window's fewer input rows) when the
     first pass reads the raw integer image cheaply (split2/int8, no
     gamma).  In int8 mode the fused kernel beats the (bf16) unfused
-    route at every measured size except gamma upsizes (the in-kernel
-    linearization recomputed over overlapping windows outweighs the
-    matmul saving), so it is used whenever viable except there.
-    mode1 applies to whichever pass touches the raw input.
+    route at every measured size (gamma included, using the
+    division-free u8 linearization polynomial), so it is used
+    whenever viable.  mode1 applies to whichever pass touches the
+    raw input.
     """
     del mode2
     downsize = vop.n_out * lop.n_out <= vop.n_in * lop.n_in
@@ -484,11 +506,6 @@ def choose_fused(
         use = int8_feasible(vop, lop, order, gamma) and fused_viable(
             vop, lop, order
         )
-        if gamma and not downsize:
-            # Measured: on gamma upsizes the in-kernel linearization
-            # recomputed over overlapping windows costs more than the
-            # int8 matmuls save; the bf16 unfused route wins.
-            use = False
         return use, order
     if downsize:
         return fused_viable(vop, lop, "vh"), "vh"
