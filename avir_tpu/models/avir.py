@@ -146,6 +146,11 @@ class ImageResizer:
         out = np.asarray(
             self._executor(key, build)(src.reshape(sh, sw * ch))
         ).reshape(new_h, new_w, ch)
+        if out.dtype != out_dtype:
+            # float64 round-trip (the reference's fptype=double mode,
+            # avir.h:4569-4592): device compute is float32 — TPUs have
+            # no f64 units — but the API preserves the dtype.
+            out = out.astype(out_dtype)
         return out[:, :, 0] if squeeze else out
 
 
@@ -180,9 +185,13 @@ class ImageResizer:
             return jax.jit(jax.vmap(single))
 
         flat = batch.reshape(n, sh, sw * ch)
-        return np.asarray(self._executor(key, build)(flat)).reshape(
+        out = np.asarray(self._executor(key, build)(flat)).reshape(
             n, new_h, new_w, ch
         )
+        out_dtype = np.dtype(kwargs.get("out_dtype") or batch.dtype)
+        if out.dtype != out_dtype:
+            out = out.astype(out_dtype)  # float64 round-trip
+        return out
 
     def _single_executor(self, src, new_w, new_h, **kwargs):
         """Build (uncached) the jitted single-image executor for the

@@ -96,7 +96,10 @@ def execute_plan_numpy(
         )
 
     if plan.is_out_float:
-        return x.astype(np.float32)
+        return x.astype(
+            np.float64 if getattr(plan, "out_float64", False)
+            else np.float32
+        )
 
     out_bits = 8 if plan.out_type_max == 255.0 else 16
     trunc_bits = out_bits - plan.res_bit_depth

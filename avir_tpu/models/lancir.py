@@ -72,6 +72,10 @@ class LancIR:
         out = np.asarray(fn(src.reshape(sh, sw * ch))).reshape(
             new_h, new_w, ch
         )
+        if out.dtype != out_dtype:
+            # float64 round-trip (reference templates on T = double,
+            # lancir.h:386-390): f32 device compute, dtype preserved.
+            out = out.astype(out_dtype)
         return out[:, :, 0] if squeeze else out
 
 

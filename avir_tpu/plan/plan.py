@@ -48,6 +48,11 @@ class ResizePlan:
     in_type_max: float  # 255/65535 for integer inputs, 0 for float
     out_type_max: float
     res_bit_depth: int
+    # float64 output requested (the reference's fptype=double mode,
+    # avir.h:4569-4592): the host route computes and returns f64; the
+    # device route computes f32 (TPUs have no f64 units) and the
+    # driver restores the dtype.
+    out_float64: bool = False
 
 
 def _resolve_k_o(
@@ -237,4 +242,5 @@ def build_resize_plan(
         in_type_max=in_max,
         out_type_max=out_max,
         res_bit_depth=res_bit_depth,
+        out_float64=is_out_float and out_dtype.itemsize == 8,
     )

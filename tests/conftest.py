@@ -63,6 +63,8 @@ def xorshift128_fill(shape, dtype, seed: int) -> np.ndarray:
         return (bits.astype(np.float64) / 4294967296.0).astype(
             np.float32
         ).reshape(shape)
+    if dtype == np.float64:
+        return (bits.astype(np.float64) / 4294967296.0).reshape(shape)
     raise ValueError(dtype)
 
 

@@ -142,6 +142,14 @@ void fillImage< float >( std::vector< float >& v, uint32_t seed )
 		v[ i ] = (float) ( r.next() * ( 1.0 / 4294967296.0 ));
 }
 
+template<>
+void fillImage< double >( std::vector< double >& v, uint32_t seed )
+{
+	XS128 r( seed );
+	for( size_t i = 0; i < v.size(); i++ )
+		v[ i ] = r.next() * ( 1.0 / 4294967296.0 );
+}
+
 // ---------------------------------------------------------------------------
 
 static FILE* Manifest;
@@ -189,6 +197,7 @@ template< typename T > static const char* tname();
 template<> const char* tname< uint8_t >() { return "u8"; }
 template<> const char* tname< uint16_t >() { return "u16"; }
 template<> const char* tname< float >() { return "f32"; }
+template<> const char* tname< double >() { return "f64"; }
 
 template< typename Tin, typename Tout, typename fpclass >
 static void runAvirT( const char* name, int sw, int sh, int nw, int nh,
@@ -322,6 +331,10 @@ int main( int argc, char* argv[] )
 		0, 0, 0, "def", false, -1, "", 8, 1019 );
 	runAvir< uint8_t, uint8_t >( "a_one", 1, 1, 8, 8, 3,
 		0, 0, 0, "def", false, -1, "", 8, 1020 );
+	// fptype=double mode (fpclass_def< double >, avir.h:4569-4592)
+	runAvirT< double, double, avir::fpclass_def< double > >(
+		"a_f64", 123, 91, 61, 45, 2,
+		0, 0, 0, "def", false, -1, "", 8, 1021 );
 
 	// ---- LANCIR end-to-end goldens ------------------------------------
 	runLancir< uint8_t, uint8_t >( "l_down4u8", 160, 120, 97, 73, 4,

@@ -74,3 +74,17 @@ def test_plan_cache_used_by_resizer(tmp_path, monkeypatch):
     rz2 = avir_tpu.ImageResizer(plan_cache=True)
     out2 = rz2.resize(src, 28, 20)
     np.testing.assert_array_equal(out1, out2)
+
+
+def test_float64_dtype_round_trip():
+    """float64 images (the reference's fptype=double mode,
+    avir.h:4569-4592) keep their dtype through both drivers; device
+    compute is float32, so values agree with the f32 route."""
+    src = xorshift128_fill((40, 30, 3), np.float64, 12)
+    out = avir_tpu.resize(src, 20, 15)
+    assert out.dtype == np.float64
+    out32 = avir_tpu.resize(src.astype(np.float32), 20, 15)
+    np.testing.assert_allclose(out, out32, rtol=0, atol=1e-5)
+
+    lout = avir_tpu.lancir_resize(src, 20, 15)
+    assert lout.dtype == np.float64

@@ -40,7 +40,7 @@ def test_avir_device_golden(name):
     assert out.shape == ref.shape
     assert out.dtype == ref.dtype
 
-    if cfg["tout"] == "f32":
+    if cfg["tout"] in ("f32", "f64"):
         np.testing.assert_allclose(out, ref, rtol=0, atol=1e-4)
     else:
         peak = 255.0 if cfg["tout"] == "u8" else 65535.0
@@ -72,7 +72,7 @@ def test_lancir_device_golden(name):
     ref = load_golden(name)
     assert out.shape == ref.shape
 
-    if cfg["tout"] == "f32":
+    if cfg["tout"] in ("f32", "f64"):
         np.testing.assert_allclose(out, ref, rtol=0, atol=1e-4)
     else:
         peak = 255.0 if cfg["tout"] == "u8" else 65535.0

@@ -18,7 +18,8 @@ from avir_tpu.plan.compose import apply_banded_numpy
 from avir_tpu.plan.lancir_plan import build_lancir_plan
 from avir_tpu.plan.plan import build_resize_plan
 
-DT = {"u8": np.uint8, "u16": np.uint16, "f32": np.float32}
+DT = {"u8": np.uint8, "u16": np.uint16, "f32": np.float32,
+      "f64": np.float64}
 
 
 def _manifest():
@@ -62,7 +63,7 @@ def test_avir_golden(name):
     assert out.shape == ref.shape
     assert out.dtype == ref.dtype
 
-    if cfg["tout"] == "f32":
+    if cfg["tout"] in ("f32", "f64"):
         np.testing.assert_allclose(out, ref, rtol=0, atol=5e-7)
     else:
         peak = 255.0 if cfg["tout"] == "u8" else 65535.0
@@ -97,7 +98,7 @@ def test_lancir_golden(name):
     ref = load_golden(name)
     assert out.shape == ref.shape
 
-    if cfg["tout"] == "f32":
+    if cfg["tout"] in ("f32", "f64"):
         np.testing.assert_allclose(out, ref, rtol=0, atol=5e-7)
     else:
         peak = 255.0 if cfg["tout"] == "u8" else 65535.0
