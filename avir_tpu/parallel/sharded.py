@@ -358,7 +358,48 @@ def make_sharded_avir_executor(
         )
         blocks = svb.taps.shape[1]
 
-        def pallas_fn(x, v_offs, v_taps):
+        # The MXU int8 fixed-point mode (ops/intq.py), exactly as on
+        # the single-chip path: per-device limb taps quantized with
+        # ONE global shift so every strip shares the kernel's
+        # fixed-point scales.
+        use_int8 = (
+            precision == "auto"
+            and not plan.is_in_float
+            and plan.in_type_max == 255.0
+            and not plan.is_out_float
+            and plan.out_type_max == 255.0
+            and lop.taps_q1 is not None
+        )
+        q_consts = ()
+        v_qshift = 0
+        v_l1 = 0.0
+        v_qa1 = v_qa0 = 0
+        if use_int8:
+            import types
+
+            from ..ops.intq import (
+                first_pass_overflow_safe,
+                quantize_limbs,
+            )
+            from ..ops.pallas.fused_kernel import int8_feasible
+
+            q1, q0, v_qshift = quantize_limbs(svb.taps)
+            v_l1 = float(np.abs(svb.taps).sum(axis=3).max())
+            v_qa1 = int(np.abs(q1.astype(np.int64)).sum(axis=3).max())
+            v_qa0 = int(np.abs(q0.astype(np.int64)).sum(axis=3).max())
+            # Stand-in for the local BlockedBandedOp (built only inside
+            # the traced body): int8_feasible reads just these fields.
+            probe = types.SimpleNamespace(
+                taps_q1=q1, q_shift=v_qshift, l1_max=v_l1,
+                q_abs1=v_qa1, q_abs0=v_qa0,
+            )
+            use_int8 = first_pass_overflow_safe(
+                q1, q0, contract_axis=3
+            ) and int8_feasible(probe, lop, "vh", plan.use_srgb_gamma)
+            if use_int8:
+                q_consts = (jnp.asarray(q1), jnp.asarray(q0))
+
+        def pallas_fn(x, v_offs, v_taps, *v_q):
             # x: RAW [strip, W*C] local rows.
             v_offs, v_taps = v_offs[0], v_taps[0]
             parts = []
@@ -387,9 +428,19 @@ def make_sharded_avir_executor(
                 taps=v_taps,
                 taps_hi=th,
                 taps_lo=tl,
+                taps_q1=v_q[0][0] if use_int8 else None,
+                taps_q0=v_q[1][0] if use_int8 else None,
+                q_shift=v_qshift,
+                l1_max=v_l1,
+                q_abs1=v_qa1,
+                q_abs0=v_qa0,
+            )
+            mv, mh = (
+                ("int8", "int8") if use_int8
+                else (mode_first, mode_second)
             )
             out2 = apply_fused_pallas(
-                vop_local, lop, ext, mode_first, mode_second,
+                vop_local, lop, ext, mv, mh,
                 out_dtype=(out_dt if not plan.is_out_float else jnp.float32),
                 out_max=plan.out_type_max,
                 trunc_bits=trunc_bits,
@@ -466,6 +517,7 @@ def make_sharded_avir_executor(
         return y.astype(out_dt)
 
     body = pallas_fn if pallas_strips else shard_fn
+    consts = (offs_c, taps_c) + (q_consts if pallas_strips else ())
     const_spec = P(rows_axis)
     # check_vma=False: pallas_call's out_shape carries no varying-mesh-
     # axes annotation, which the checker would otherwise reject.
@@ -473,26 +525,24 @@ def make_sharded_avir_executor(
         inner = jax.shard_map(
             body,
             mesh=mesh,
-            in_specs=(P(rows_axis, None), const_spec, const_spec),
+            in_specs=(P(rows_axis, None),)
+            + (const_spec,) * len(consts),
             out_specs=P(rows_axis, None),
             check_vma=False,
         )
     else:
         inner = jax.shard_map(
-            jax.vmap(body, in_axes=(0, None, None)),
+            jax.vmap(body, in_axes=(0,) + (None,) * len(consts)),
             mesh=mesh,
-            in_specs=(
-                P(batch_axis, rows_axis, None),
-                const_spec,
-                const_spec,
-            ),
+            in_specs=(P(batch_axis, rows_axis, None),)
+            + (const_spec,) * len(consts),
             out_specs=P(batch_axis, rows_axis, None),
             check_vma=False,
         )
 
     @jax.jit
     def run(src: jax.Array) -> jax.Array:
-        out = inner(src, offs_c, taps_c)
+        out = inner(src, *consts)
         return out[..., :new_h, :]
 
     return run
