@@ -190,12 +190,22 @@ def make_avir_executor(
     # vs the f64 oracle — eligible whenever the pipeline is u8-in /
     # 8-bit-quantized-out.  With gamma the kernel linearizes on the
     # VPU and quantizes to 13-bit linear light (fused_kernel.py).
+    # Error diffusion is excluded: the recursive quantizer feeds back
+    # its residual (avir.h:4504-4524), amplifying the int8 path's
+    # ~2^-14 tap noise into extra +-1 flips — the pre-dither image
+    # must be full precision, like the reference's all-f32 pipeline.
     int8_ok = (
         precision == "auto"
         and not plan.is_in_float
         and plan.in_type_max == 255.0
         and not plan.is_out_float
         and plan.out_type_max == 255.0
+        and not errdiff
+        and not return_predither
+        # Sub-8-bit outputs quantize in 2^trunc_bits-LSB steps, so a
+        # near-boundary value flips a whole step on ~2^-14 noise; keep
+        # the bf16 splits' headroom there (rare, perf-immaterial).
+        and trunc_bits == 0
     )
     kind = "unfused"
     forder = "vh"

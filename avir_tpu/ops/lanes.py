@@ -62,6 +62,21 @@ class LaneBlockedOp:
     taps_q1: jax.Array | None = None  # s8 [n_blocks, win_l, tile*c]
     taps_q0: jax.Array | None = None  # s8
     q_shift: int = 0
+    # Chunked form: the block tap matrix is banded (each output lane
+    # contracts only ``width*c`` of the ``win_l`` window lanes), so the
+    # [win_l, tile*c] dense matmul wastes MACs on structural zeros.
+    # Splitting the outputs into 128-lane chunks, each contracting only
+    # its own win_c-lane sub-window (static 128-aligned offsets), cuts
+    # the MXU work by win_l/win_c (~2x at k=4, C=3) — the lane-form
+    # analog of the reference exploiting filter locality per pixel
+    # (doResize tap walks, avir.h:3884-4099).  None when tile*c == 128
+    # or the band already fills the window.
+    chunk_rel: tuple[int, ...] | None = None  # per-chunk window offset
+    win_c: int = 0                            # chunk window lanes
+    ctaps_hi: jax.Array | None = None  # bf16 [n_blocks, n_ch, win_c, 128]
+    ctaps_lo: jax.Array | None = None
+    ctaps_q1: jax.Array | None = None  # s8
+    ctaps_q0: jax.Array | None = None
     l1_max: float = 0.0  # max_col sum |taps| — output magnitude bound
     # Max per-output abs limb sums along the contraction — s32
     # overflow bounds for the fused kernel's gamma int8 path.
@@ -129,6 +144,44 @@ def lane_block_banded(
     q1, q0, q_shift = quantize_limbs(dense)
     if not first_pass_overflow_safe(q1, q0, contract_axis=1):
         q1 = q0 = None  # pragma: no cover - pathological taps only
+
+    # Chunked banded form: per 128-lane output chunk, the sub-window of
+    # contraction lanes actually touched (uniform across blocks up to
+    # fractional phase; offsets 128-aligned so the kernel's in-VMEM
+    # slices are legal).  bf16 rounding and limb splitting are
+    # elementwise, so slicing the already-split tensors keeps the
+    # chunked and full forms numerically identical.
+    chunk_rel = None
+    win_c = 0
+    c_hi = c_lo = c_q1 = c_q0 = None
+    n_ch = (tile * c) // 128
+    if n_ch > 1 and (tile * c) % 128 == 0:
+        rel = np.empty(n_ch, dtype=np.int64)
+        ends = np.empty(n_ch, dtype=np.int64)
+        for j in range(n_ch):
+            used = np.nonzero(
+                np.any(dense[:, :, j * 128 : (j + 1) * 128], axis=(0, 2))
+            )[0]
+            lo_u, hi_u = (
+                (int(used[0]), int(used[-1]) + 1) if used.size else (0, 1)
+            )
+            rel[j] = (lo_u // 128) * 128
+            ends[j] = hi_u
+        win_c = _round_up(int((ends - rel).max()), 128)
+        if win_c < win_l:
+            rel = np.minimum(rel, win_l - win_c)
+            chunk_rel = tuple(int(r) for r in rel)
+            sl = [
+                (slice(None), slice(r, r + win_c),
+                 slice(j * 128, (j + 1) * 128))
+                for j, r in enumerate(chunk_rel)
+            ]
+            hi_np, lo_np = np.asarray(taps_hi), np.asarray(taps_lo)
+            c_hi = jnp.asarray(np.stack([hi_np[s] for s in sl], axis=1))
+            c_lo = jnp.asarray(np.stack([lo_np[s] for s in sl], axis=1))
+            if q1 is not None:
+                c_q1 = jnp.asarray(np.stack([q1[s] for s in sl], axis=1))
+                c_q0 = jnp.asarray(np.stack([q0[s] for s in sl], axis=1))
     return LaneBlockedOp(
         n_in=op.n_in,
         n_out=n_out,
@@ -142,6 +195,12 @@ def lane_block_banded(
         taps_q1=None if q1 is None else jnp.asarray(q1),
         taps_q0=None if q0 is None else jnp.asarray(q0),
         q_shift=q_shift,
+        chunk_rel=chunk_rel,
+        win_c=win_c,
+        ctaps_hi=c_hi,
+        ctaps_lo=c_lo,
+        ctaps_q1=c_q1,
+        ctaps_q0=c_q0,
         l1_max=float(np.abs(dense).sum(axis=1).max()),
         q_abs1=0 if q1 is None else int(
             np.abs(q1.astype(np.int64)).sum(axis=1).max()

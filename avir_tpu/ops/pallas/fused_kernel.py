@@ -102,10 +102,71 @@ def _srgb_to_linear13_u8poly(x, c, alpha_index):
     return jnp.round(lin).astype(jnp.int32)
 
 
+def _rmul(pairs, chunk_rel, win_c, ptype):
+    """Sum of scaled right-multiplications ``sum_k s_k * (x_k @ T_k)``
+    over the lane axis, with optionally CHUNKED taps.
+
+    ``pairs`` is a list of (x [M, WC], tap_ref, scale).  Unchunked, tap
+    blocks are [1, WC, TC].  Chunked ([1, n_ch, win_c, 128], see
+    ops/lanes.py), each 128-lane output chunk contracts only its
+    win_c-lane sub-window — x is sliced at the chunk's static
+    128-aligned offset, skipping the band's structural zeros (~2x
+    fewer MACs at k=4, C=3).  Equal-scale terms are summed in the
+    dot's own dtype BEFORE scaling (exact for s32 limb products — the
+    recombination rounding must not depend on chunking); integer
+    scales then multiply in s32 (exact), float scales cast to f32
+    first (overflow-free for the * 2^14 limb weight)."""
+    def block(j=None, r=None):
+        groups: list[list] = []  # [scale, summed dots] first-seen order
+        for x, tref, s in pairs:
+            t = tref[0] if j is None else tref[0, j]
+            xx = x if r is None else x[:, r : r + win_c]
+            p = jnp.dot(xx, t, preferred_element_type=ptype)
+            for g in groups:
+                if g[0] == s and type(g[0]) is type(s):
+                    g[1] = g[1] + p
+                    break
+            else:
+                groups.append([s, p])
+        out = None
+        for s, p in groups:
+            if isinstance(s, float):
+                if s != 1.0:
+                    p = p.astype(jnp.float32) * jnp.float32(s)
+            elif s != 1:
+                p = p * ptype(s)
+            out = p if out is None else out + p
+        return out
+
+    if chunk_rel is None:
+        return block()
+    return jnp.concatenate(
+        [block(j, r) for j, r in enumerate(chunk_rel)], axis=1
+    )
+
+
+def _tap_colsum(tref, chunk_rel, scale):
+    """Per-output-lane column sums of an s8 tap block (x-shift
+    compensation rows), honoring the chunked form."""
+    if chunk_rel is None:
+        return scale * jnp.sum(
+            tref[0].astype(jnp.int32), axis=0, keepdims=True
+        )
+    return jnp.concatenate(
+        [
+            scale * jnp.sum(
+                tref[0, j].astype(jnp.int32), axis=0, keepdims=True
+            )
+            for j in range(len(chunk_rel))
+        ],
+        axis=1,
+    )
+
+
 def _int8_passes(
     xw, tvh_ref, tvl_ref, thh_ref, thl_ref,
     *, order, qv_shift, qh_shift, x_shift,
-    gamma, c, alpha_index, in_gamma_mult,
+    gamma, c, alpha_index, in_gamma_mult, chunk_rel, win_c,
 ):
     """Both separable passes on the MXU's int8 mode (2x bf16 rate).
 
@@ -120,64 +181,94 @@ def _int8_passes(
     equivalents, vs 5-6 for the bf16 splits.
     """
     q1v, q0v = tvh_ref[0], tvl_ref[0]  # s8 [T_v, win_v]
-    q1h, q0h = thh_ref[0], thl_ref[0]  # s8 [win_h*C, T_h*C]
-    qf1, qf0 = (q1v, q0v) if order == "vh" else (q1h, q0h)
 
-    def first_dot(a, b):
-        if order == "vh":
-            return jnp.dot(a, b, preferred_element_type=jnp.int32)
-        return jnp.dot(b, a, preferred_element_type=jnp.int32)
-
-    if gamma:
+    def linearize(xw):
         # Fused pack stage (avir.h:208-220) in f32 on the VPU, then
-        # re-quantized: first pass costs 3 int8 matmuls.  (Mosaic has
-        # no direct u8 -> f32 cast; hop through int32.)
+        # re-quantized to two s8 limbs: first pass costs 3 int8
+        # matmuls.  (Mosaic has no direct u8 -> f32 cast; hop through
+        # int32.)
         xq = _srgb_to_linear13_u8poly(
             xw.astype(jnp.int32).astype(jnp.float32)
             * jnp.float32(in_gamma_mult),
             c, alpha_index,
         )
-        xq1, xq0 = _int8_limbs(xq)
-        m11 = first_dot(qf1, xq1)
-        m10 = first_dot(qf1, xq0)
-        m01 = first_dot(qf0, xq1)
-        # == (first pass result) * 2^(first_bits), tap rounding aside.
-        fq = (m11 << 14) + ((m10 + m01) << 7)
-        first_bits = _GAMMA_IN_BITS + (
-            qv_shift if order == "vh" else qh_shift
-        )
-    else:
-        # u8 -> s8 (x - 128) as a bit flip of the MSB — one VPU op
-        # instead of an int32 round trip; the row-sum terms undo the
-        # -128 shift.  First pass costs 2 int8 matmuls.
-        xs = jax.lax.bitcast_convert_type(xw ^ jnp.uint8(128), jnp.int8)
-        m1 = first_dot(qf1, xs)
-        m0 = first_dot(qf0, xs)
-        axis = 1 if order == "vh" else 0
-        rs1 = jnp.sum(qf1.astype(jnp.int32), axis=axis, keepdims=True)
-        rs0 = jnp.sum(qf0.astype(jnp.int32), axis=axis, keepdims=True)
-        fq = (m1 << 7) + m0 + ((rs1 << 7) + rs0) * 128
-        first_bits = qv_shift if order == "vh" else qh_shift
+        return _int8_limbs(xq)
 
+    def to_s8(xw):
+        # u8 -> s8 (x - 128) as a bit flip of the MSB — one VPU op
+        # instead of an int32 round trip; column/row-sum compensation
+        # terms undo the -128 shift.  First pass costs 2 int8 matmuls.
+        return jax.lax.bitcast_convert_type(
+            xw ^ jnp.uint8(128), jnp.int8
+        )
+
+    if order == "vh":
+        # ---- first (vertical) pass: LHS row taps, unchunked ---------
+        if gamma:
+            xq1, xq0 = linearize(xw)
+            m11 = jnp.dot(q1v, xq1, preferred_element_type=jnp.int32)
+            m10 = jnp.dot(q1v, xq0, preferred_element_type=jnp.int32)
+            m01 = jnp.dot(q0v, xq1, preferred_element_type=jnp.int32)
+            # == (pass result) * 2^(first_bits), tap rounding aside.
+            fq = (m11 << 14) + ((m10 + m01) << 7)
+            first_bits = _GAMMA_IN_BITS + qv_shift
+        else:
+            xs = to_s8(xw)
+            m1 = jnp.dot(q1v, xs, preferred_element_type=jnp.int32)
+            m0 = jnp.dot(q0v, xs, preferred_element_type=jnp.int32)
+            rs1 = jnp.sum(q1v.astype(jnp.int32), axis=1, keepdims=True)
+            rs0 = jnp.sum(q0v.astype(jnp.int32), axis=1, keepdims=True)
+            fq = (m1 << 7) + m0 + ((rs1 << 7) + rs0) * 128
+            first_bits = qv_shift
+        sh = first_bits - x_shift
+        x15 = (fq + (1 << (sh - 1))) >> sh
+        x1, x0 = _int8_limbs(x15)
+        # ---- second (horizontal) pass: chunked right-mult; limb
+        # products recombined in f32 (s32 would overflow the * 2^14).
+        acc = _rmul(
+            [
+                (x1, thh_ref, 16384.0),
+                (x0, thh_ref, 128.0),
+                (x1, thl_ref, 128.0),
+            ],
+            chunk_rel, win_c, jnp.int32,
+        )
+        return acc * jnp.float32(2.0 ** -(x_shift + qh_shift))
+
+    # ---- hv: first (horizontal) pass is the chunked right-mult ------
+    if gamma:
+        xq1, xq0 = linearize(xw)
+        fq = _rmul(
+            [
+                (xq1, thh_ref, 1 << 14),
+                (xq0, thh_ref, 1 << 7),
+                (xq1, thl_ref, 1 << 7),
+            ],
+            chunk_rel, win_c, jnp.int32,
+        )
+        first_bits = _GAMMA_IN_BITS + qh_shift
+    else:
+        xs = to_s8(xw)
+        fq = _rmul(
+            [(xs, thh_ref, 128), (xs, thl_ref, 1)],
+            chunk_rel, win_c, jnp.int32,
+        )
+        fq = fq + (
+            _tap_colsum(thh_ref, chunk_rel, 128 * 128)
+            + _tap_colsum(thl_ref, chunk_rel, 128)
+        )
+        first_bits = qh_shift
     sh = first_bits - x_shift
     x15 = (fq + (1 << (sh - 1))) >> sh
     x1, x0 = _int8_limbs(x15)
-    if order == "vh":
-        n11 = jnp.dot(x1, q1h, preferred_element_type=jnp.int32)
-        n10 = jnp.dot(x0, q1h, preferred_element_type=jnp.int32)
-        n01 = jnp.dot(x1, q0h, preferred_element_type=jnp.int32)
-        second_shift = qh_shift
-    else:
-        n11 = jnp.dot(q1v, x1, preferred_element_type=jnp.int32)
-        n10 = jnp.dot(q1v, x0, preferred_element_type=jnp.int32)
-        n01 = jnp.dot(q0v, x1, preferred_element_type=jnp.int32)
-        second_shift = qv_shift
-    # x15 * Q summed == out * 2^(x_shift + second_shift); recombine the
-    # limb products in f32 (s32 would overflow the <<14).
+    # ---- second (vertical) pass: LHS row taps, unchunked ------------
+    n11 = jnp.dot(q1v, x1, preferred_element_type=jnp.int32)
+    n10 = jnp.dot(q1v, x0, preferred_element_type=jnp.int32)
+    n01 = jnp.dot(q0v, x1, preferred_element_type=jnp.int32)
     return (
         n11.astype(jnp.float32) * 16384.0
         + (n10 + n01).astype(jnp.float32) * 128.0
-    ) * jnp.float32(2.0 ** -(x_shift + second_shift))
+    ) * jnp.float32(2.0 ** -(x_shift + qv_shift))
 
 
 def _kernel(
@@ -185,7 +276,7 @@ def _kernel(
     tvh_ref, tvl_ref, thh_ref, thl_ref,
     out_ref, *, mode_v, mode_h, out_max, trunc_bits, scale, round_mode,
     c, gamma, alpha_index, in_gamma_mult, out_gamma_mult, order,
-    qv_shift=0, qh_shift=0, x_shift=0,
+    qv_shift=0, qh_shift=0, x_shift=0, chunk_rel=None, win_c=0,
 ):
     if mode_v == "int8":
         acc = _int8_passes(
@@ -193,6 +284,7 @@ def _kernel(
             order=order, qv_shift=qv_shift, qh_shift=qh_shift,
             x_shift=x_shift, gamma=gamma, c=c,
             alpha_index=alpha_index, in_gamma_mult=in_gamma_mult,
+            chunk_rel=chunk_rel, win_c=win_c,
         )
         if gamma:
             # Fused unpack stage: linear -> sRGB (avir.h:299-310).
@@ -228,32 +320,22 @@ def _kernel(
 
         # ---- horizontal pass: [T_v, win_h*C] @ [win_h*C, T_h*C] -----
         vh = v.astype(jnp.bfloat16)
-        acc = jnp.dot(vh, thh_ref[0], preferred_element_type=jnp.float32)
-        acc = acc + jnp.dot(
-            vh, thl_ref[0], preferred_element_type=jnp.float32
-        )
+        pairs = [(vh, thh_ref, 1.0), (vh, thl_ref, 1.0)]
         if mode_h == "split3":
             vl = (v - vh.astype(jnp.float32)).astype(jnp.bfloat16)
-            acc = acc + jnp.dot(
-                vl, thh_ref[0], preferred_element_type=jnp.float32
-            )
+            pairs.append((vl, thh_ref, 1.0))
+        acc = _rmul(pairs, chunk_rel, win_c, jnp.float32)
     else:
         # H-first order (upsizing: win_v < T_v, so running the wide
         # horizontal contraction on the window's few input rows is
         # cheaper than on the tile's many output rows).
         # ---- horizontal pass: [win_v, win_h*C] @ [win_h*C, T_h*C] ---
         xb = xw.astype(jnp.bfloat16)
-        hpass = jnp.dot(
-            xb, thh_ref[0], preferred_element_type=jnp.float32
-        )
-        hpass = hpass + jnp.dot(
-            xb, thl_ref[0], preferred_element_type=jnp.float32
-        )
+        pairs = [(xb, thh_ref, 1.0), (xb, thl_ref, 1.0)]
         if mode_h == "split3":
             xl = (xw - xb.astype(jnp.float32)).astype(jnp.bfloat16)
-            hpass = hpass + jnp.dot(
-                xl, thh_ref[0], preferred_element_type=jnp.float32
-            )
+            pairs.append((xl, thh_ref, 1.0))
+        hpass = _rmul(pairs, chunk_rel, win_c, jnp.float32)
 
         # ---- vertical pass: [T_v, win_v] @ [win_v, T_h*C] -----------
         hb_ = hpass.astype(jnp.bfloat16)
@@ -350,10 +432,18 @@ def apply_fused_pallas(
         if x_shift < 1:
             raise ValueError("int8 mode infeasible for these taps")
         tv_a, tv_b = vop.taps_q1, vop.taps_q0
-        th_a, th_b = lop.taps_q1, lop.taps_q0
+        th_a, th_b = lop.ctaps_q1, lop.ctaps_q0
+        if th_a is None:
+            th_a, th_b = lop.taps_q1, lop.taps_q0
     else:
         tv_a, tv_b = vop.taps_hi, vop.taps_lo
-        th_a, th_b = lop.taps_hi, lop.taps_lo
+        th_a, th_b = lop.ctaps_hi, lop.ctaps_lo
+        if th_a is None:
+            th_a, th_b = lop.taps_hi, lop.taps_lo
+    # Chunked-band H taps (ops/lanes.py): ~2x fewer second-pass MACs.
+    chunked = th_a is not None and th_a.ndim == 4
+    chunk_rel = lop.chunk_rel if chunked else None
+    win_c = lop.win_c if chunked else 0
 
     need_rows = vop.n_in_pad
     need_lanes = lop.lanes_pad
@@ -368,6 +458,15 @@ def apply_fused_pallas(
 
     grid = (Bh, Bv)  # vb innermost: H taps stay resident per column
 
+    if chunked:
+        n_ch = th_a.shape[1]
+        th_spec = pl.BlockSpec(
+            (1, n_ch, win_c, 128), lambda hb, vb, *_: (hb, 0, 0, 0)
+        )
+    else:
+        th_spec = pl.BlockSpec(
+            (1, WC, TC), lambda hb, vb, *_: (hb, 0, 0)
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
@@ -385,12 +484,8 @@ def apply_fused_pallas(
             pl.BlockSpec(
                 (1, Tv, Wv), lambda hb, vb, *_: (vb, 0, 0)
             ),
-            pl.BlockSpec(
-                (1, WC, TC), lambda hb, vb, *_: (hb, 0, 0)
-            ),
-            pl.BlockSpec(
-                (1, WC, TC), lambda hb, vb, *_: (hb, 0, 0)
-            ),
+            th_spec,
+            th_spec,
         ],
         out_specs=pl.BlockSpec(
             (Tv, TC), lambda hb, vb, *_: (vb, hb)
@@ -415,12 +510,17 @@ def apply_fused_pallas(
             qv_shift=qv_shift,
             qh_shift=qh_shift,
             x_shift=x_shift,
+            chunk_rel=chunk_rel,
+            win_c=win_c,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Bv * Tv, Bh * TC), out_dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * Bh * Bv * Tv * (Wv + TC) * WC,
+            flops=2 * Bh * Bv * Tv * (
+                Wv * WC
+                + (th_a.shape[1] * win_c * 128 if chunked else WC * TC)
+            ),
             bytes_accessed=Bh * Bv * Wv * WC * x.dtype.itemsize
             + Bv * Tv * Bh * TC * jnp.dtype(out_dtype).itemsize,
             transcendentals=0,
