@@ -226,6 +226,18 @@ def make_avir_executor(
             pop = lane_block_banded(plan.h.op, 1)
     mv, mh = (mode1, mode2) if forder == "vh" else (mode2, mode1)
 
+    # Linearize-once gamma prologue (ops/pallas/gamma_prologue.py):
+    # above ~2 Mpix the fused grid's window overlap makes recomputing
+    # the in-kernel linearization polynomial cost more than streaming
+    # a 2 B/px pre-linearized i16 image (docs/perf_analysis.md).
+    gamma_pre = False
+    if kind == "fused" and mode1 == "int8" and plan.use_srgb_gamma:
+        from ..ops.pallas.fused_kernel import fused_viable
+
+        gamma_pre = h * w >= 2_000_000 and fused_viable(
+            vop, lop, forder, in_bytes=2
+        )
+
     @jax.jit
     def run(src: jax.Array) -> jax.Array:
         # src is [h, w*c] (2-D interleaved) — keeps host<->device
@@ -277,8 +289,19 @@ def make_avir_executor(
                 and not errdiff
                 and not return_predither
             )
+            xin, xlo = src, None
+            if gamma_pre:
+                from ..ops.pallas.gamma_prologue import (
+                    apply_gamma_prologue,
+                )
+
+                xin, xlo = apply_gamma_prologue(
+                    src, vop.n_in_pad, lop.lanes_pad, c,
+                    plan.alpha_index, plan.in_gamma_mult,
+                )
             out2 = apply_fused_pallas(
-                vop, lop, src, mv, mh,
+                vop, lop, xin, mv, mh,
+                x_lo=xlo,
                 out_dtype=(out_dt if fuse_quant else jnp.float32),
                 out_max=plan.out_type_max,
                 trunc_bits=trunc_bits if fuse_quant else 0,

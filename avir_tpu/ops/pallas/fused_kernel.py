@@ -183,6 +183,11 @@ def _int8_passes(
     q1v, q0v = tvh_ref[0], tvl_ref[0]  # s8 [T_v, win_v]
 
     def linearize(xw):
+        if isinstance(xw, tuple):
+            # gamma_pre route: the prologue kernel
+            # (ops/pallas/gamma_prologue.py) already wrote the 13-bit
+            # linear light as s8 limb planes — direct MXU operands.
+            return xw
         # Fused pack stage (avir.h:208-220) in f32 on the VPU, then
         # re-quantized to two s8 limbs: first pass costs 3 int8
         # matmuls.  (Mosaic has no direct u8 -> f32 cast; hop through
@@ -272,15 +277,19 @@ def _int8_passes(
 
 
 def _kernel(
-    offv32_ref, offh128_ref, x_ref,
-    tvh_ref, tvl_ref, thh_ref, thl_ref,
-    out_ref, *, mode_v, mode_h, out_max, trunc_bits, scale, round_mode,
+    offv32_ref, offh128_ref, x_ref, *refs,
+    mode_v, mode_h, out_max, trunc_bits, scale, round_mode,
     c, gamma, alpha_index, in_gamma_mult, out_gamma_mult, order,
     qv_shift=0, qh_shift=0, x_shift=0, chunk_rel=None, win_c=0,
+    gamma_pre=False,
 ):
+    if gamma_pre:
+        xlo_ref, refs = refs[0], refs[1:]
+    tvh_ref, tvl_ref, thh_ref, thl_ref, out_ref = refs
     if mode_v == "int8":
+        xw = (x_ref[...], xlo_ref[...]) if gamma_pre else x_ref[...]
         acc = _int8_passes(
-            x_ref[...], tvh_ref, tvl_ref, thh_ref, thl_ref,
+            xw, tvh_ref, tvl_ref, thh_ref, thl_ref,
             order=order, qv_shift=qv_shift, qh_shift=qh_shift,
             x_shift=x_shift, gamma=gamma, c=c,
             alpha_index=alpha_index, in_gamma_mult=in_gamma_mult,
@@ -402,11 +411,13 @@ def apply_fused_pallas(
     out_gamma_mult: float = 1.0,
     order: str = "vh",
     interpret: bool = False,
+    x_lo: jax.Array | None = None,
 ) -> jax.Array:
     """[n_in_rows, n_in*C] -> [v_blocks*T_v, h_blocks*T_h*C]; callers
     slice to [new_h, new_w*C].  When ``out_dtype`` is an integer type
     the default dither (round/clamp/truncate) is fused into the
-    epilogue."""
+    epilogue.  ``x_lo`` selects the gamma_pre route: (x, x_lo) are the
+    prologue kernel's s8 linear-light limb planes."""
     rows, lanes = x.shape
     c = lop.c
     Bv, Tv, Wv = vop.taps_hi.shape
@@ -417,7 +428,12 @@ def apply_fused_pallas(
     if use_int8:
         if mode_v != mode_h:
             raise ValueError("int8 mode applies to both passes")
-        if x.dtype != jnp.uint8:
+        if x_lo is not None:
+            if not gamma or x.dtype != jnp.int8:
+                raise ValueError(
+                    "limb-plane input is the int8 gamma_pre route"
+                )
+        elif x.dtype != jnp.uint8:
             raise ValueError("int8 mode requires raw u8 input")
         if vop.taps_q1 is None or lop.taps_q1 is None:
             raise ValueError("operator lacks int8 limb taps")
@@ -448,13 +464,13 @@ def apply_fused_pallas(
     need_rows = vop.n_in_pad
     need_lanes = lop.lanes_pad
     if need_rows > rows or need_lanes > lanes:
-        x = jnp.pad(
-            x,
-            (
-                (0, max(need_rows - rows, 0)),
-                (0, max(need_lanes - lanes, 0)),
-            ),
+        padding = (
+            (0, max(need_rows - rows, 0)),
+            (0, max(need_lanes - lanes, 0)),
         )
+        x = jnp.pad(x, padding)
+        if x_lo is not None:
+            x_lo = jnp.pad(x_lo, padding)
 
     grid = (Bh, Bv)  # vb innermost: H taps stay resident per column
 
@@ -467,17 +483,19 @@ def apply_fused_pallas(
         th_spec = pl.BlockSpec(
             (1, WC, TC), lambda hb, vb, *_: (hb, 0, 0)
         )
+    x_spec = pl.BlockSpec(
+        (pl.Element(Wv), pl.Element(WC)),
+        lambda hb, vb, offv32, offh128: (
+            offv32[vb] * 32,
+            offh128[hb] * 128,
+        ),
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (pl.Element(Wv), pl.Element(WC)),
-                lambda hb, vb, offv32, offh128: (
-                    offv32[vb] * 32,
-                    offh128[hb] * 128,
-                ),
-            ),
+        in_specs=[x_spec]
+        + ([x_spec] if x_lo is not None else [])
+        + [
             pl.BlockSpec(
                 (1, Tv, Wv), lambda hb, vb, *_: (vb, 0, 0)
             ),
@@ -512,6 +530,7 @@ def apply_fused_pallas(
             x_shift=x_shift,
             chunk_rel=chunk_rel,
             win_c=win_c,
+            gamma_pre=x_lo is not None,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Bv * Tv, Bh * TC), out_dtype),
@@ -521,11 +540,16 @@ def apply_fused_pallas(
                 Wv * WC
                 + (th_a.shape[1] * win_c * 128 if chunked else WC * TC)
             ),
-            bytes_accessed=Bh * Bv * Wv * WC * x.dtype.itemsize
+            bytes_accessed=Bh * Bv * Wv * WC
+            * x.dtype.itemsize * (2 if x_lo is not None else 1)
             + Bv * Tv * Bh * TC * jnp.dtype(out_dtype).itemsize,
             transcendentals=0,
         ),
-    )(vop.offs // 32, lop.offs_l // 128, x, tv_a, tv_b, th_a, th_b)
+    )(
+        vop.offs // 32, lop.offs_l // 128, x,
+        *([x_lo] if x_lo is not None else []),
+        tv_a, tv_b, th_a, th_b,
+    )
     return out
 
 
@@ -669,14 +693,17 @@ def int8_feasible(
 
 
 def fused_viable(
-    vop: BlockedBandedOp, lop: LaneBlockedOp, order: str = "vh"
+    vop: BlockedBandedOp,
+    lop: LaneBlockedOp,
+    order: str = "vh",
+    in_bytes: int = 1,
 ) -> bool:
     """Rough VMEM-budget check for the fused kernel's block shapes."""
     Bv, Tv, Wv = vop.taps_hi.shape
     Bh, WC, TC = lop.taps_hi.shape
     inter = Tv * WC if order == "vh" else Wv * TC
     vmem = (
-        2 * Wv * WC            # double-buffered input window (u8-worst)
+        2 * Wv * WC * in_bytes  # double-buffered input window
         + 4 * Wv * WC          # f32 conversion temp
         + 2 * 2 * Tv * Wv * 2  # V taps hi/lo, double-buffered
         + 2 * 2 * WC * TC * 2  # H taps hi/lo, double-buffered

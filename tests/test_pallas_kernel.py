@@ -535,3 +535,46 @@ def test_fused_kernel_gamma_alpha():
     refq = np.clip(np.floor(ref + 0.5), 0, 65535).astype(np.uint16)
     # split-bf16 passes under a gamma nonlinearity: allow a few LSBs.
     assert np.abs(out.astype(int) - refq.astype(int)).max() <= 24
+
+
+def test_fused_kernel_gamma_prologue_route():
+    """Linearize-once prologue (gamma_prologue.py) + limb-plane fused
+    kernel is bit-identical to the in-kernel int8 gamma route."""
+    from avir_tpu.ops.lanes import lane_block_banded
+    from avir_tpu.ops.pallas.fused_kernel import apply_fused_pallas
+    from avir_tpu.ops.pallas.gamma_prologue import apply_gamma_prologue
+
+    for sw, sh, nw, nh, order, c, alpha, seed in (
+        (200, 150, 80, 60, "vh", 3, -1, 33),
+        (80, 60, 200, 150, "hv", 4, 3, 91),
+    ):
+        plan = build_resize_plan(
+            sw, sh, nw, nh, c, np.uint8, np.uint8,
+            use_srgb_gamma=True, alpha_index=alpha,
+        )
+        vop = block_banded(plan.v.op)
+        lop = lane_block_banded(plan.h.op, c)
+        x = xorshift128_fill((sh, sw * c), np.uint8, seed)
+
+        kw = dict(
+            out_dtype=jnp.uint8, order=order, gamma=True,
+            alpha_index=plan.alpha_index,
+            in_gamma_mult=plan.in_gamma_mult,
+            out_gamma_mult=plan.out_gamma_mult,
+            interpret=True,
+        )
+        base = np.asarray(
+            apply_fused_pallas(
+                vop, lop, jnp.asarray(x), "int8", "int8", **kw
+            )
+        )[:nh, : nw * c]
+        hi, lo = apply_gamma_prologue(
+            jnp.asarray(x), vop.n_in_pad, lop.lanes_pad, c,
+            plan.alpha_index, plan.in_gamma_mult, interpret=True,
+        )
+        got = np.asarray(
+            apply_fused_pallas(
+                vop, lop, hi, "int8", "int8", x_lo=lo, **kw
+            )
+        )[:nh, : nw * c]
+        np.testing.assert_array_equal(got, base)
