@@ -1,0 +1,73 @@
+"""Multi-process mesh worker: one JAX process of a 2-process x
+4-device-per-process CPU cluster (launched by tests/test_multiprocess.py).
+
+Exercises the true multi-controller path that a TPU pod uses
+(SURVEY.md par.4 item d): jax.distributed.initialize over a local
+coordinator, a global (sp=8) mesh spanning both processes, global
+input arrays assembled from process-local shards, and cross-process
+halo-exchange collectives inside the sharded executor.  Each process
+checks its addressable output rows against the float64 host oracle.
+"""
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent.parent))
+
+
+def main() -> int:
+    coord, nproc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+
+    from avir_tpu.parallel import multihost
+
+    multihost.initialize(
+        coordinator_address=coord, num_processes=nproc, process_id=pid
+    )
+
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    assert jax.process_count() == nproc, jax.process_count()
+    assert len(jax.devices()) == nproc * jax.local_device_count()
+
+    from conftest import xorshift128_fill
+    from avir_tpu.models.host_reference import execute_plan_numpy
+    from avir_tpu.parallel.sharded import make_sharded_avir_executor
+    from avir_tpu.plan.plan import build_resize_plan
+
+    mesh = multihost.make_dp_sp_mesh()  # (dp=1, sp=8) across processes
+    assert mesh.shape["sp"] == nproc * jax.local_device_count()
+
+    # Same deterministic image on every process (multi-controller SPMD).
+    sh, sw, c = 256, 96, 3
+    nh, nw = 160, 64
+    src = xorshift128_fill((sh, sw, c), np.uint8, 123)
+    plan = build_resize_plan(sw, sh, nw, nh, c, np.uint8, np.uint8)
+    fn = make_sharded_avir_executor(plan, mesh, rows_axis="sp")
+
+    flat = src.reshape(sh, sw * c)
+    sharding = NamedSharding(mesh, P("sp", None))
+    garr = jax.make_array_from_callback(
+        flat.shape, sharding, lambda idx: flat[idx]
+    )
+    out = fn(garr)
+    jax.block_until_ready(out)
+
+    oracle = execute_plan_numpy(plan, src).reshape(nh, nw * c)
+    checked = 0
+    for shard in out.addressable_shards:
+        rows = shard.index[0]
+        got = np.asarray(shard.data).astype(np.int64)
+        ref = oracle[rows].astype(np.int64)
+        maxdiff = np.abs(got - ref).max() if got.size else 0
+        assert maxdiff <= 1, (pid, rows, maxdiff)
+        checked += got.shape[0]
+    assert checked == nh // nproc, checked
+    print(f"proc {pid}: {checked} output rows verified", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
