@@ -64,6 +64,7 @@ class ImageResizer:
         dither: str = "default",
         build_mode: int = -1,
         precision: str = "auto",
+        rnd_seed: int = 0,
     ) -> np.ndarray:
         """Resize ``src`` ([H, W, C] or [H, W]) to new_w x new_h.
 
@@ -75,8 +76,13 @@ class ImageResizer:
         "errdiff-device" (fully on-device lax.scan version; slow for
         large images — the recurrence is serial, as in the reference's
         single-threaded dither stage, avir.h:5047-5068).
+        ``rnd_seed`` mirrors CImageResizerVars.RndSeed
+        (avir.h:2533-2535): a hook for custom ditherers; like the
+        reference's shipped ditherers, the built-in ones are
+        deterministic and ignore it.
         Returns a NumPy array in the output dtype.
         """
+        del rnd_seed
         src = np.asarray(src)
         squeeze = src.ndim == 2
         if squeeze:
