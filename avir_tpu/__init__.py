@@ -25,7 +25,7 @@ from .params import (
     PARAMS_ULTRA,
     preset,
 )
-from .models.avir import ImageResizer, resize
+from .models.avir import ImageResizer, make_resize_fn, resize
 from .models.lancir import LancIR, lancir_resize
 from . import metrology, native
 
@@ -41,6 +41,7 @@ __all__ = [
     "PARAMS_ULTRA",
     "preset",
     "ImageResizer",
+    "make_resize_fn",
     "resize",
     "LancIR",
     "lancir_resize",

@@ -232,3 +232,75 @@ def resize(src: np.ndarray, new_w: int, new_h: int, **kwargs) -> np.ndarray:
         params=kwargs.pop("params", PARAMS_DEF),
     )
     return rz.resize(src, new_w, new_h, **kwargs)
+
+
+def make_resize_fn(
+    src_shape,
+    in_dtype,
+    new_w: int,
+    new_h: int,
+    out_dtype=None,
+    k: float = 0.0,
+    ox: float = 0.0,
+    oy: float = 0.0,
+    params: Params = PARAMS_DEF,
+    res_bit_depth: int = 8,
+    src_bit_depth: int = 0,
+    use_srgb_gamma: bool = False,
+    alpha_index: int = -1,
+    dither: str = "default",
+    build_mode: int = -1,
+    precision: str = "auto",
+    engine: str = "auto",
+):
+    """Build a TRACEABLE resize function [H, W, C] -> [new_h, new_w, C]
+    (or [H, W] -> [new_h, new_w]) for in-graph use: the returned
+    callable takes and returns jax arrays and composes under the
+    caller's own ``jax.jit`` / ``vmap`` / ``shard_map`` — e.g. fused
+    into a serving or input pipeline.  The reference has no analog
+    (its entry point is a host call, avir.h:4680); this is the
+    TPU-native equivalent of linking the resizer into a larger
+    program.
+
+    ``dither`` is "default" or "errdiff-device" — the host-scan
+    error-diffusion route is not traceable.
+    """
+    import jax.numpy as jnp
+
+    from ..plan.plan import build_resize_plan
+    from .runtime import make_avir_executor
+
+    if dither not in ("default", "errdiff-device"):
+        raise ValueError(
+            "traceable resize supports dither='default' or"
+            " 'errdiff-device'"
+        )
+    squeeze = len(src_shape) == 2
+    sh, sw = src_shape[0], src_shape[1]
+    ch = 1 if squeeze else src_shape[2]
+    in_dtype = np.dtype(in_dtype)
+    out_dt = np.dtype(out_dtype) if out_dtype is not None else in_dtype
+    plan = build_resize_plan(
+        sw, sh, new_w, new_h, ch, in_dtype, out_dt,
+        k=k, ox=ox, oy=oy, params=params,
+        res_bit_depth=res_bit_depth, src_bit_depth=src_bit_depth,
+        use_srgb_gamma=use_srgb_gamma, alpha_index=alpha_index,
+        build_mode=build_mode,
+    )
+    run = make_avir_executor(
+        plan,
+        errdiff=(dither == "errdiff-device"),
+        precision=precision,
+        engine=engine,
+    )
+
+    def fn(x):
+        x = jnp.asarray(x)
+        if x.shape != tuple(src_shape):
+            raise ValueError(
+                f"expected input shape {tuple(src_shape)}, got {x.shape}"
+            )
+        out = run(x.reshape(sh, sw * ch)).reshape(new_h, new_w, ch)
+        return out[:, :, 0] if squeeze else out
+
+    return fn

@@ -88,3 +88,34 @@ def test_float64_dtype_round_trip():
 
     lout = avir_tpu.lancir_resize(src, 20, 15)
     assert lout.dtype == np.float64
+
+
+def test_make_resize_fn_traceable():
+    """make_resize_fn composes under the caller's jit/vmap and matches
+    the host-driver route."""
+    import jax
+    import jax.numpy as jnp
+
+    import avir_tpu
+
+    rng = np.random.default_rng(9)
+    batch = rng.integers(0, 256, (3, 60, 80, 3), dtype=np.uint8)
+    fn = avir_tpu.make_resize_fn((60, 80, 3), np.uint8, 40, 30)
+
+    out = np.asarray(jax.jit(jax.vmap(fn))(jnp.asarray(batch)))
+    assert out.shape == (3, 30, 40, 3) and out.dtype == np.uint8
+    for i in range(3):
+        ref = avir_tpu.resize(batch[i], 40, 30)
+        assert np.abs(out[i].astype(int) - ref.astype(int)).max() <= 1
+
+    # grayscale 2-D shape, float output, gamma
+    g = rng.integers(0, 256, (50, 70), dtype=np.uint8)
+    fng = avir_tpu.make_resize_fn(
+        (50, 70), np.uint8, 35, 25, out_dtype=np.float32,
+        use_srgb_gamma=True,
+    )
+    og = np.asarray(jax.jit(fng)(jnp.asarray(g)))
+    assert og.shape == (25, 35) and og.dtype == np.float32
+    rz = avir_tpu.ImageResizer()
+    ref = rz.resize(g, 35, 25, out_dtype=np.float32, use_srgb_gamma=True)
+    assert np.abs(og - ref).max() <= 1e-3
