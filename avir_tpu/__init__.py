@@ -26,7 +26,7 @@ from .params import (
     preset,
 )
 from .models.avir import ImageResizer, make_resize_fn, resize
-from .models.lancir import LancIR, lancir_resize
+from .models.lancir import LancIR, lancir_resize, make_lancir_resize_fn
 from . import metrology, native
 
 __version__ = "0.1.0"
@@ -45,6 +45,7 @@ __all__ = [
     "resize",
     "LancIR",
     "lancir_resize",
+    "make_lancir_resize_fn",
     "metrology",
     "native",
 ]

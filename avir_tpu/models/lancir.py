@@ -84,3 +84,45 @@ def lancir_resize(
 ) -> np.ndarray:
     """One-shot LANCIR resize (see LancIR.resize)."""
     return LancIR().resize(src, new_w, new_h, **kwargs)
+
+
+def make_lancir_resize_fn(
+    src_shape,
+    in_dtype,
+    new_w: int,
+    new_h: int,
+    kx: float = 0.0,
+    ky: float = 0.0,
+    ox: float = 0.0,
+    oy: float = 0.0,
+    la: float = 3.0,
+    out_dtype=None,
+    precision: str = "auto",
+    engine: str = "auto",
+):
+    """Traceable LANCIR resize [H, W, C] -> [new_h, new_w, C] (or 2-D
+    grayscale) for in-graph use — the Lanczos-path counterpart of
+    ``make_resize_fn`` (see models/avir.py)."""
+    import jax.numpy as jnp
+
+    squeeze = len(src_shape) == 2
+    sh, sw = src_shape[0], src_shape[1]
+    ch = 1 if squeeze else src_shape[2]
+    in_dtype = np.dtype(in_dtype)
+    out_dt = np.dtype(out_dtype) if out_dtype is not None else in_dtype
+    plan = build_lancir_plan(
+        sw, sh, new_w, new_h, ch, in_dtype, out_dt,
+        kx=kx, ky=ky, ox=ox, oy=oy, la=la,
+    )
+    run = make_lancir_executor(plan, precision=precision, engine=engine)
+
+    def fn(x):
+        x = jnp.asarray(x)
+        if x.shape != tuple(src_shape):
+            raise ValueError(
+                f"expected input shape {tuple(src_shape)}, got {x.shape}"
+            )
+        out = run(x.reshape(sh, sw * ch)).reshape(new_h, new_w, ch)
+        return out[:, :, 0] if squeeze else out
+
+    return fn

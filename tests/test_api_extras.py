@@ -119,3 +119,19 @@ def test_make_resize_fn_traceable():
     rz = avir_tpu.ImageResizer()
     ref = rz.resize(g, 35, 25, out_dtype=np.float32, use_srgb_gamma=True)
     assert np.abs(og - ref).max() <= 1e-3
+
+
+def test_make_lancir_resize_fn_traceable():
+    import jax
+    import jax.numpy as jnp
+
+    import avir_tpu
+
+    rng = np.random.default_rng(13)
+    batch = rng.integers(0, 256, (2, 48, 64, 3), dtype=np.uint8)
+    fn = avir_tpu.make_lancir_resize_fn((48, 64, 3), np.uint8, 80, 56)
+    out = np.asarray(jax.jit(jax.vmap(fn))(jnp.asarray(batch)))
+    assert out.shape == (2, 56, 80, 3) and out.dtype == np.uint8
+    for i in range(2):
+        ref = avir_tpu.lancir_resize(batch[i], 80, 56)
+        assert np.abs(out[i].astype(int) - ref.astype(int)).max() <= 1
