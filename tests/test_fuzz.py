@@ -46,10 +46,13 @@ def _gen_config(rng):
     if np.dtype(tout).kind == "f":
         bits = 8
     precision = "exact" if rng.random() < 0.15 else "auto"
+    # Forced build mode (CImageResizerVars.BuildMode, avir.h:2530-2532):
+    # every mode must deliver near-identical results.
+    bm = int(rng.integers(0, 4)) if rng.random() < 0.25 else -1
     return dict(
         sw=sw, sh=sh, nw=nw, nh=nh, ch=ch, tin=tin, tout=tout,
         k=k, ox=ox, oy=oy, gamma=gamma, alpha=alpha, preset=preset,
-        bits=bits, precision=precision,
+        bits=bits, precision=precision, build_mode=bm,
     )
 
 
@@ -74,6 +77,7 @@ def test_fuzz_avir_vs_host_oracle(seed):
         src, cfg["nw"], cfg["nh"], k=cfg["k"], ox=cfg["ox"], oy=cfg["oy"],
         out_dtype=cfg["tout"], use_srgb_gamma=cfg["gamma"],
         alpha_index=cfg["alpha"], precision=cfg["precision"],
+        build_mode=cfg["build_mode"],
     )
 
     plan = build_resize_plan(
@@ -82,7 +86,7 @@ def test_fuzz_avir_vs_host_oracle(seed):
         k=cfg["k"], ox=cfg["ox"], oy=cfg["oy"],
         params=avir_tpu.preset(cfg["preset"]),
         res_bit_depth=cfg["bits"], use_srgb_gamma=cfg["gamma"],
-        alpha_index=cfg["alpha"],
+        alpha_index=cfg["alpha"], build_mode=cfg["build_mode"],
     )
     ref = execute_plan_numpy(plan, src)
 
