@@ -578,3 +578,44 @@ def test_fused_kernel_gamma_prologue_route():
             )
         )[:nh, : nw * c]
         np.testing.assert_array_equal(got, base)
+
+
+def test_fused_ring_kernel_matches_fused():
+    """Shift-ring gamma kernel (fused_ring_kernel.py) is bit-identical
+    to the plain fused int8 gamma route."""
+    from avir_tpu.ops.lanes import lane_block_banded
+    from avir_tpu.ops.pallas.fused_kernel import apply_fused_pallas
+    from avir_tpu.ops.pallas.fused_ring_kernel import (
+        apply_fused_ring_pallas,
+        ring_viable,
+    )
+
+    for sw, sh, nw, nh, c, alpha, seed in (
+        (256, 768, 64, 192, 3, -1, 5),
+        (128, 768, 32, 192, 4, 3, 9),
+    ):
+        plan = build_resize_plan(
+            sw, sh, nw, nh, c, np.uint8, np.uint8,
+            use_srgb_gamma=True, alpha_index=alpha,
+        )
+        vop = block_banded(plan.v.op, tile=64)
+        lop = lane_block_banded(plan.h.op, c)
+        assert ring_viable(vop, lop, True, "vh"), (sw, sh, nw, nh)
+        x = xorshift128_fill((sh, sw * c), np.uint8, seed)
+
+        kw = dict(
+            out_dtype=jnp.uint8, alpha_index=plan.alpha_index,
+            in_gamma_mult=plan.in_gamma_mult,
+            out_gamma_mult=plan.out_gamma_mult,
+            interpret=True,
+        )
+        base = np.asarray(
+            apply_fused_pallas(
+                vop, lop, jnp.asarray(x), "int8", "int8",
+                order="vh", gamma=True, **kw
+            )
+        )[:nh, : nw * c]
+        got = np.asarray(
+            apply_fused_ring_pallas(vop, lop, jnp.asarray(x), **kw)
+        )[:nh, : nw * c]
+        np.testing.assert_array_equal(got, base)
