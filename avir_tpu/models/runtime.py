@@ -226,17 +226,36 @@ def make_avir_executor(
             pop = lane_block_banded(plan.h.op, 1)
     mv, mh = (mode1, mode2) if forder == "vh" else (mode2, mode1)
 
-    # Linearize-once gamma prologue (ops/pallas/gamma_prologue.py):
-    # above ~2 Mpix the fused grid's window overlap makes recomputing
-    # the in-kernel linearization polynomial cost more than streaming
-    # a 2 B/px pre-linearized i16 image (docs/perf_analysis.md).
+    # Gamma-route selection for the int8 fused path.  Three
+    # implementations of the sRGB pack stage exist (all bit-identical;
+    # see docs/perf_analysis.md for the measured trade-offs):
+    #   - "inkernel": linearization polynomial inside the fused kernel,
+    #     recomputed over the window overlap;
+    #   - "prologue": linearize-once kernel writing s8 limb planes
+    #     (2 B/px) consumed as direct MXU operands
+    #     (ops/pallas/gamma_prologue.py);
+    #   - "ring": shift-ring fused kernel — only the new delta rows are
+    #     fetched and linearized per cell (ops/pallas/fused_ring_kernel
+    #     .py; uniform-stride downsizes only).
+    # AVIR_TPU_GAMMA_ROUTE overrides for tuning/probing.
     gamma_pre = False
+    use_ring = False
     if kind == "fused" and mode1 == "int8" and plan.use_srgb_gamma:
-        from ..ops.pallas.fused_kernel import fused_viable
+        import os
 
-        gamma_pre = h * w >= 2_000_000 and fused_viable(
-            vop, lop, forder, in_bytes=2
-        )
+        from ..ops.pallas.fused_kernel import fused_viable
+        from ..ops.pallas.fused_ring_kernel import ring_viable
+
+        route = os.environ.get("AVIR_TPU_GAMMA_ROUTE", "auto")
+        ring_ok = ring_viable(vop, lop, True, forder)
+        pre_ok = fused_viable(vop, lop, forder, in_bytes=2)
+        if route == "ring":
+            use_ring = ring_ok
+        elif route == "prologue":
+            gamma_pre = pre_ok
+        elif route != "inkernel":
+            # auto: measured rule (docs/perf_analysis.md).
+            gamma_pre = h * w >= 2_000_000 and pre_ok
 
     @jax.jit
     def run(src: jax.Array) -> jax.Array:
@@ -289,6 +308,31 @@ def make_avir_executor(
                 and not errdiff
                 and not return_predither
             )
+            if use_ring:
+                from ..ops.pallas.fused_ring_kernel import (
+                    apply_fused_ring_pallas,
+                )
+
+                out2 = apply_fused_ring_pallas(
+                    vop, lop, src,
+                    out_dtype=(out_dt if fuse_quant else jnp.float32),
+                    out_max=plan.out_type_max,
+                    trunc_bits=trunc_bits if fuse_quant else 0,
+                    alpha_index=plan.alpha_index,
+                    in_gamma_mult=plan.in_gamma_mult,
+                    out_gamma_mult=plan.out_gamma_mult,
+                )
+                x = out2[: vop.n_out, : hop.n_out * c]
+                if fuse_quant or plan.is_out_float or return_predither:
+                    return x
+                x3 = errdiff_dither_jnp(
+                    x.reshape(vop.n_out, hop.n_out, c),
+                    trunc_bits,
+                    plan.out_type_max,
+                )
+                return x3.reshape(
+                    vop.n_out, hop.n_out * c
+                ).astype(out_dt)
             xin, xlo = src, None
             if gamma_pre:
                 from ..ops.pallas.gamma_prologue import (
