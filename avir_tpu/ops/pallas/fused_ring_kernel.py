@@ -14,20 +14,23 @@ persistent VMEM scratch ring holding the LINEARIZED 13-bit limb planes
 (fused_kernel._srgb_to_linear13_u8poly + _int8_limbs — bit-identical
 values):
 
-  grid (hb, vb') with vb' = Bv + 1 cells per column:
-    vb' == 0  (preload): linearize the column window's first delta rows
-              into ring[0:delta]; no output.
-    vb' >= 1: shift ring up by delta (except vb'==1), linearize the
-              cell's delta new rows into ring[win_v-delta:], then run
-              the same int8 V+H passes as the fused kernel on the ring
-              and write the output tile.
+  grid (hb, vb') with vb' = Bv + n_pre cells per column
+  (n_pre = ceil((win_v - delta) / delta) preload cells):
+    vb' < n_pre  (preload): linearize the column window's rows
+              [vb'*delta, +delta) into the ring; no output.
+    vb' >= n_pre: shift ring up by delta (except the first real cell,
+              whose tail rows complete the preloaded window), linearize
+              the cell's delta new rows into ring[win_v-delta:], then
+              run the same int8 V+H passes as the fused kernel on the
+              ring and write the output tile.
 
 Applicability (checked by ``ring_viable``): uniform delta
-(constant-stride vertical offsets), 2*delta >= win_v (the preload plus
-the first real block must cover the first window; also makes the shift
-copy non-overlapping), delta % 32 == 0, int8 mode with gamma, order
-"vh".  The output is bit-identical to the plain fused kernel's gamma
-int8 route: same quantized linear light, same limb arithmetic.
+(constant-stride vertical offsets) with delta and win_v 32-aligned,
+int8 mode with gamma, order "vh".  The shift copy moves data DOWN
+(dst < src), so Mosaic's increasing-order tiling never overwrites
+unread source rows.  The output is bit-identical to the plain fused
+kernel's gamma int8 route: same quantized linear light, same limb
+arithmetic.
 """
 
 from __future__ import annotations
@@ -61,6 +64,10 @@ def uniform_delta(offs: np.ndarray) -> int:
     return int(d[0]) if (d == d[0]).all() and d[0] > 0 else 0
 
 
+def n_preload(win_v: int, delta: int) -> int:
+    return -(-(win_v - delta) // delta)
+
+
 def ring_viable(
     vop: BlockedBandedOp, lop: LaneBlockedOp, gamma: bool, order: str
 ) -> bool:
@@ -72,8 +79,8 @@ def ring_viable(
         delta > 0
         and delta % 32 == 0
         and Wv % 32 == 0  # keeps offs + Wv - delta 32-aligned
-        and 2 * delta >= Wv
         and delta < Wv  # otherwise windows don't overlap: plain fused
+        and n_preload(Wv, delta) <= 8  # grid-bloat guard for tiny delta
     )
 
 
@@ -81,7 +88,7 @@ def _kernel(
     offr32_ref, offh128_ref, x_ref,
     tvh_ref, tvl_ref, thh_ref, thl_ref,
     out_ref, ring_hi, ring_lo,
-    *, delta, win_v, out_max, trunc_bits, scale, round_mode,
+    *, delta, win_v, n_pre, out_max, trunc_bits, scale, round_mode,
     c, alpha_index, in_gamma_mult, out_gamma_mult,
     qv_shift, qh_shift, x_shift, chunk_rel, win_c,
 ):
@@ -94,19 +101,19 @@ def _kernel(
     )
     hi, lo = _int8_limbs(xq)
 
-    @pl.when(vb == 0)
+    @pl.when(vb < n_pre)
     def _():
-        ring_hi[:delta] = hi
-        ring_lo[:delta] = lo
+        ring_hi[pl.ds(vb * delta, delta)] = hi
+        ring_lo[pl.ds(vb * delta, delta)] = lo
 
-    @pl.when(vb >= 2)
+    @pl.when(vb >= n_pre + 1)
     def _():
-        # Shift the window up by delta (non-overlapping copy since
-        # 2*delta >= win_v).
+        # Shift the window up by delta.  dst < src, so the tiled copy
+        # never overwrites unread source rows.
         ring_hi[: win_v - delta] = ring_hi[delta:]
         ring_lo[: win_v - delta] = ring_lo[delta:]
 
-    @pl.when(vb >= 1)
+    @pl.when(vb >= n_pre)
     def _():
         ring_hi[win_v - delta :] = hi
         ring_lo[win_v - delta :] = lo
@@ -148,8 +155,9 @@ def apply_fused_ring_pallas(
     Bv, Tv, Wv = vop.taps_hi.shape
     Bh, WC, TC = lop.taps_hi.shape
     delta = uniform_delta(vop.offs)
-    if delta <= 0 or 2 * delta < Wv or delta % 32 or Wv % 32:
+    if delta <= 0 or delta % 32 or Wv % 32 or delta >= Wv:
         raise ValueError("ring kernel needs uniform 32-aligned delta")
+    n_pre = n_preload(Wv, delta)
     if vop.taps_q1 is None or lop.taps_q1 is None:
         raise ValueError("operator lacks int8 limb taps")
     qv_shift, qh_shift = vop.q_shift, lop.q_shift
@@ -178,12 +186,14 @@ def apply_fused_ring_pallas(
         )
 
     # Per-cell x block = the delta NEW rows of the cell's window:
-    #   vb' == 0: rows [offs[0], offs[0]+delta)
-    #   vb' >= 1: rows [offs[vb'-1] + Wv - delta, ... + delta)
+    #   vb' <  n_pre: rows [offs[0] + vb'*delta, ... + delta)
+    #   vb' >= n_pre: rows [offs[vb'-n_pre] + Wv - delta, ... + delta)
     offs = np.asarray(vop.offs)
-    offr = np.concatenate([[offs[0]], offs + (Wv - delta)])
+    offr = np.concatenate(
+        [offs[0] + delta * np.arange(n_pre), offs + (Wv - delta)]
+    )
 
-    grid = (Bh, Bv + 1)
+    grid = (Bh, Bv + n_pre)
 
     if chunked:
         n_ch = th_a.shape[1]
@@ -196,7 +206,7 @@ def apply_fused_ring_pallas(
         )
 
     def vmap_idx(hb, vb, *_):
-        return (jnp.maximum(vb - 1, 0), 0, 0)
+        return (jnp.maximum(vb - n_pre, 0), 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -216,7 +226,7 @@ def apply_fused_ring_pallas(
         ],
         out_specs=pl.BlockSpec(
             (Tv, TC),
-            lambda hb, vb, *_: (jnp.maximum(vb - 1, 0), hb),
+            lambda hb, vb, *_: (jnp.maximum(vb - n_pre, 0), hb),
         ),
         scratch_shapes=[
             pltpu.VMEM((Wv, WC), jnp.int8),
@@ -229,6 +239,7 @@ def apply_fused_ring_pallas(
             _kernel,
             delta=delta,
             win_v=Wv,
+            n_pre=n_pre,
             out_max=out_max,
             trunc_bits=trunc_bits,
             scale=scale,
@@ -251,7 +262,7 @@ def apply_fused_ring_pallas(
                 Wv * WC
                 + (th_a.shape[1] * win_c * 128 if chunked else WC * TC)
             ),
-            bytes_accessed=Bh * (Bv + 1) * delta * WC
+            bytes_accessed=Bh * (Bv + n_pre) * delta * WC
             + Bv * Tv * Bh * TC * jnp.dtype(out_dtype).itemsize,
             transcendentals=0,
         ),

@@ -590,15 +590,16 @@ def test_fused_ring_kernel_matches_fused():
         ring_viable,
     )
 
-    for sw, sh, nw, nh, c, alpha, seed in (
-        (256, 768, 64, 192, 3, -1, 5),
-        (128, 768, 32, 192, 4, 3, 9),
+    for sw, sh, nw, nh, c, alpha, tile, seed in (
+        (256, 768, 64, 192, 3, -1, 64, 5),     # n_pre == 1
+        (128, 768, 32, 192, 4, 3, 64, 9),      # n_pre == 1, alpha
+        (384, 512, 96, 128, 3, -1, None, 17),  # n_pre == 2
     ):
         plan = build_resize_plan(
             sw, sh, nw, nh, c, np.uint8, np.uint8,
             use_srgb_gamma=True, alpha_index=alpha,
         )
-        vop = block_banded(plan.v.op, tile=64)
+        vop = block_banded(plan.v.op, tile=tile)
         lop = lane_block_banded(plan.h.op, c)
         assert ring_viable(vop, lop, True, "vh"), (sw, sh, nw, nh)
         x = xorshift128_fill((sh, sw * c), np.uint8, seed)
