@@ -66,6 +66,43 @@ def main() -> int:
         checked += got.shape[0]
     assert checked == nh // nproc, checked
     print(f"proc {pid}: {checked} output rows verified", flush=True)
+
+    # Scenario 2 — the BASELINE.json multi-host config shape: BATCH
+    # downsize on a 2-D (dp, sp) mesh where the batch axis spans
+    # processes (DCN-analog) and row strips span the local devices.
+    mesh2 = multihost.make_dp_sp_mesh(sp=jax.local_device_count())
+    assert mesh2.shape["dp"] == nproc
+    bsz, sh2, sw2 = 2, 512, 384
+    nh2, nw2 = 128, 96
+    batch = np.stack(
+        [xorshift128_fill((sh2, sw2, c), np.uint8, 500 + i) for i in range(bsz)]
+    )
+    plan2 = build_resize_plan(sw2, sh2, nw2, nh2, c, np.uint8, np.uint8)
+    fn2 = make_sharded_avir_executor(
+        plan2, mesh2, rows_axis="sp", batch_axis="dp"
+    )
+    flat2 = batch.reshape(bsz, sh2, sw2 * c)
+    sh2d = NamedSharding(mesh2, P("dp", "sp", None))
+    garr2 = jax.make_array_from_callback(
+        flat2.shape, sh2d, lambda idx: flat2[idx]
+    )
+    out2 = fn2(garr2)
+    jax.block_until_ready(out2)
+    oracles = [
+        execute_plan_numpy(plan2, batch[i]).reshape(nh2, nw2 * c)
+        for i in range(bsz)
+    ]
+    checked2 = 0
+    for shard in out2.addressable_shards:
+        b, rows = shard.index[0], shard.index[1]
+        got = np.asarray(shard.data).astype(np.int64)
+        for j, bi in enumerate(range(*b.indices(bsz))):
+            ref = oracles[bi][rows].astype(np.int64)
+            maxdiff = np.abs(got[j] - ref).max() if got[j].size else 0
+            assert maxdiff <= 1, (pid, bi, rows, maxdiff)
+            checked2 += got[j].shape[0]
+    assert checked2 == nh2, checked2  # one batch element per process
+    print(f"proc {pid}: batch dp x sp verified", flush=True)
     return 0
 
 

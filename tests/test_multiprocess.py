@@ -57,3 +57,4 @@ def test_two_process_mesh():
             f"worker {pid} failed (rc={p.returncode})\n{out[-6000:]}"
         )
         assert f"proc {pid}:" in out, out[-2000:]
+        assert "batch dp x sp verified" in out, out[-2000:]
