@@ -254,8 +254,12 @@ def make_avir_executor(
         elif route == "prologue":
             gamma_pre = pre_ok
         elif route != "inkernel":
-            # auto: measured rule (docs/perf_analysis.md).
-            gamma_pre = h * w >= 2_000_000 and pre_ok
+            # auto: the in-kernel polynomial is the best measured route
+            # so far (docs/perf_analysis.md; the i16 prologue variant
+            # measured slower at every size, the limb-plane variant and
+            # the ring kernel are pending on-hardware numbers) — update
+            # this rule when tools/probe_gpre.py says otherwise.
+            pass
 
     @jax.jit
     def run(src: jax.Array) -> jax.Array:
