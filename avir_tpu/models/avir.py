@@ -234,6 +234,29 @@ def resize(src: np.ndarray, new_w: int, new_h: int, **kwargs) -> np.ndarray:
     return rz.resize(src, new_w, new_h, **kwargs)
 
 
+def _traceable_wrapper(run, src_shape, sh, sw, ch, new_w, new_h,
+                       squeeze, flat):
+    """Shared [H, W, C]/[H, W*C] <-> executor adapter for the traceable
+    factories (make_resize_fn / make_lancir_resize_fn)."""
+    import jax.numpy as jnp
+
+    expect = (sh, sw * ch) if flat else tuple(src_shape)
+
+    def fn(x):
+        x = jnp.asarray(x)
+        if x.shape != expect:
+            raise ValueError(
+                f"expected input shape {expect}, got {x.shape}"
+            )
+        out = run(x.reshape(sh, sw * ch))
+        if flat:
+            return out
+        out = out.reshape(new_h, new_w, ch)
+        return out[:, :, 0] if squeeze else out
+
+    return fn
+
+
 def make_resize_fn(
     src_shape,
     in_dtype,
@@ -252,6 +275,7 @@ def make_resize_fn(
     build_mode: int = -1,
     precision: str = "auto",
     engine: str = "auto",
+    flat: bool = False,
 ):
     """Build a TRACEABLE resize function [H, W, C] -> [new_h, new_w, C]
     (or [H, W] -> [new_h, new_w]) for in-graph use: the returned
@@ -262,11 +286,17 @@ def make_resize_fn(
     TPU-native equivalent of linking the resizer into a larger
     program.
 
+    LAYOUT NOTE: if the returned fn is the OUTERMOST jitted program,
+    a channels-minor [H, W, C] input is committed to the device with
+    the C axis padded to the 128-lane tile (C=3 -> ~42x the HBM).
+    Inside a larger program XLA folds the reshape away, but when the
+    resize is the whole program pass ``flat=True`` to make fn speak
+    the executors' native flat [H, W*C] -> [new_h, new_w*C] contract
+    instead (zero padding waste).
+
     ``dither`` is "default" or "errdiff-device" — the host-scan
     error-diffusion route is not traceable.
     """
-    import jax.numpy as jnp
-
     from ..plan.plan import build_resize_plan
     from .runtime import make_avir_executor
 
@@ -293,14 +323,6 @@ def make_resize_fn(
         precision=precision,
         engine=engine,
     )
-
-    def fn(x):
-        x = jnp.asarray(x)
-        if x.shape != tuple(src_shape):
-            raise ValueError(
-                f"expected input shape {tuple(src_shape)}, got {x.shape}"
-            )
-        out = run(x.reshape(sh, sw * ch)).reshape(new_h, new_w, ch)
-        return out[:, :, 0] if squeeze else out
-
-    return fn
+    return _traceable_wrapper(
+        run, src_shape, sh, sw, ch, new_w, new_h, squeeze, flat
+    )

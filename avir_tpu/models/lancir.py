@@ -99,11 +99,13 @@ def make_lancir_resize_fn(
     out_dtype=None,
     precision: str = "auto",
     engine: str = "auto",
+    flat: bool = False,
 ):
     """Traceable LANCIR resize [H, W, C] -> [new_h, new_w, C] (or 2-D
     grayscale) for in-graph use — the Lanczos-path counterpart of
-    ``make_resize_fn`` (see models/avir.py)."""
-    import jax.numpy as jnp
+    ``make_resize_fn`` (see models/avir.py, incl. the layout note on
+    ``flat``)."""
+    from .avir import _traceable_wrapper
 
     squeeze = len(src_shape) == 2
     sh, sw = src_shape[0], src_shape[1]
@@ -115,14 +117,6 @@ def make_lancir_resize_fn(
         kx=kx, ky=ky, ox=ox, oy=oy, la=la,
     )
     run = make_lancir_executor(plan, precision=precision, engine=engine)
-
-    def fn(x):
-        x = jnp.asarray(x)
-        if x.shape != tuple(src_shape):
-            raise ValueError(
-                f"expected input shape {tuple(src_shape)}, got {x.shape}"
-            )
-        out = run(x.reshape(sh, sw * ch)).reshape(new_h, new_w, ch)
-        return out[:, :, 0] if squeeze else out
-
-    return fn
+    return _traceable_wrapper(
+        run, src_shape, sh, sw, ch, new_w, new_h, squeeze, flat
+    )

@@ -251,8 +251,24 @@ def make_avir_executor(
         pre_ok = fused_viable(vop, lop, forder, in_bytes=2)
         if route == "ring":
             use_ring = ring_ok
+            if not ring_ok:
+                import warnings
+
+                warnings.warn(
+                    "AVIR_TPU_GAMMA_ROUTE=ring not viable for this "
+                    "config (needs a uniform-stride int8 downsize); "
+                    "falling back to the in-kernel route"
+                )
         elif route == "prologue":
             gamma_pre = pre_ok
+            if not pre_ok:
+                import warnings
+
+                warnings.warn(
+                    "AVIR_TPU_GAMMA_ROUTE=prologue not viable for this "
+                    "config (VMEM budget); falling back to the "
+                    "in-kernel route"
+                )
         elif route != "inkernel":
             # auto: the in-kernel polynomial is the best measured route
             # so far (docs/perf_analysis.md; the i16 prologue variant
@@ -317,26 +333,18 @@ def make_avir_executor(
                     apply_fused_ring_pallas,
                 )
 
+                # use_ring implies int8_ok, which excludes errdiff /
+                # predither / float output — quantization always fuses.
                 out2 = apply_fused_ring_pallas(
                     vop, lop, src,
-                    out_dtype=(out_dt if fuse_quant else jnp.float32),
+                    out_dtype=out_dt,
                     out_max=plan.out_type_max,
-                    trunc_bits=trunc_bits if fuse_quant else 0,
+                    trunc_bits=trunc_bits,
                     alpha_index=plan.alpha_index,
                     in_gamma_mult=plan.in_gamma_mult,
                     out_gamma_mult=plan.out_gamma_mult,
                 )
-                x = out2[: vop.n_out, : hop.n_out * c]
-                if fuse_quant or plan.is_out_float or return_predither:
-                    return x
-                x3 = errdiff_dither_jnp(
-                    x.reshape(vop.n_out, hop.n_out, c),
-                    trunc_bits,
-                    plan.out_type_max,
-                )
-                return x3.reshape(
-                    vop.n_out, hop.n_out * c
-                ).astype(out_dt)
+                return out2[: vop.n_out, : hop.n_out * c]
             xin, xlo = src, None
             if gamma_pre:
                 from ..ops.pallas.gamma_prologue import (

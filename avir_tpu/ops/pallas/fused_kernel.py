@@ -424,15 +424,15 @@ def apply_fused_pallas(
     Bh, WC, TC = lop.taps_hi.shape
 
     use_int8 = mode_v == "int8" or mode_h == "int8"
+    if x_lo is not None and not (use_int8 and gamma):
+        raise ValueError("limb-plane input is the int8 gamma_pre route")
     qv_shift = qh_shift = x_shift = 0
     if use_int8:
         if mode_v != mode_h:
             raise ValueError("int8 mode applies to both passes")
         if x_lo is not None:
-            if not gamma or x.dtype != jnp.int8:
-                raise ValueError(
-                    "limb-plane input is the int8 gamma_pre route"
-                )
+            if x.dtype != jnp.int8:
+                raise ValueError("limb planes must be s8")
         elif x.dtype != jnp.uint8:
             raise ValueError("int8 mode requires raw u8 input")
         if vop.taps_q1 is None or lop.taps_q1 is None:

@@ -135,3 +135,23 @@ def test_make_lancir_resize_fn_traceable():
     for i in range(2):
         ref = avir_tpu.lancir_resize(batch[i], 80, 56)
         assert np.abs(out[i].astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_make_resize_fn_flat_layout():
+    """flat=True speaks the executors' native [H, W*C] contract."""
+    import jax
+    import jax.numpy as jnp
+
+    import avir_tpu
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (60, 80, 3), dtype=np.uint8)
+    fn = avir_tpu.make_resize_fn(
+        (60, 80, 3), np.uint8, 40, 30, flat=True
+    )
+    out = np.asarray(jax.jit(fn)(jnp.asarray(img.reshape(60, 240))))
+    assert out.shape == (30, 40 * 3)
+    ref = avir_tpu.resize(img, 40, 30)
+    assert np.abs(
+        out.reshape(30, 40, 3).astype(int) - ref.astype(int)
+    ).max() <= 1

@@ -38,24 +38,19 @@ def main():
         lop = lane_block_banded(plan.h.op, 3)
         d = jax.device_put(src)
 
-        fn_new = make_avir_executor(plan)  # routed (gate decides)
-        out_new = np.asarray(fn_new(d))
-        t_new, _ = device_ms(lambda: fn_new(d))
-
-        # Force the in-kernel route by disabling the i16 viability.
-        import avir_tpu.ops.pallas.fused_kernel as fk
-
-        orig = fk.fused_viable
-        fk.fused_viable = (
-            lambda vop, lop, order="vh", in_bytes=1:
-            orig(vop, lop, order) if in_bytes == 1 else False
-        )
+        os.environ["AVIR_TPU_GAMMA_ROUTE"] = "prologue"
+        try:
+            fn_new = make_avir_executor(plan)
+            out_new = np.asarray(fn_new(d))
+            t_new, _ = device_ms(lambda: fn_new(d))
+        finally:
+            os.environ["AVIR_TPU_GAMMA_ROUTE"] = "inkernel"
         try:
             fn_old = make_avir_executor(plan)
             out_old = np.asarray(fn_old(d))
             t_old, _ = device_ms(lambda: fn_old(d))
         finally:
-            fk.fused_viable = orig
+            os.environ.pop("AVIR_TPU_GAMMA_ROUTE")
 
         # Stage ablations: prologue alone, main-on-limbs alone.
         pro = jax.jit(
@@ -104,7 +99,7 @@ def main():
         same = np.array_equal(out_new, out_old)
         pro_ops = sorted(ops_pro.items(), key=lambda kv: -kv[1])[:3]
         print(
-            f"{name}: old {t_old:.3f}  routed {t_new:.3f}  "
+            f"{name}: inkernel {t_old:.3f}  prologue-route {t_new:.3f}  "
             f"prologue {t_pro:.3f} {[(k, round(v, 3)) for k, v in pro_ops]}  "
             f"main {t_main:.3f}  ring {t_ring:.3f} (same={ring_same})  "
             f"identical={same}",
