@@ -98,10 +98,14 @@ class ImageResizer:
             out = np.zeros((new_h, new_w, ch), dtype=out_dtype)
             return out[:, :, 0] if squeeze else out
 
+        import os
+
         key = (
             sw, sh, new_w, new_h, ch, src.dtype.str, out_dtype.str,
             k, ox, oy, use_srgb_gamma, alpha_index, dither, build_mode,
             precision,
+            # routing env knob participates in executor identity
+            os.environ.get("AVIR_TPU_GAMMA_ROUTE", "auto"),
         )
 
         host_errdiff = dither == "errdiff" and out_dtype.kind != "f"
@@ -183,8 +187,11 @@ class ImageResizer:
                 [self.resize(im, new_w, new_h, **kwargs) for im in batch]
             )
         probe = batch[0]
+        import os
+
         key = ("batch", n, sw, sh, new_w, new_h, ch, batch.dtype.str,
-               tuple(sorted(kwargs.items())))
+               tuple(sorted(kwargs.items())),
+               os.environ.get("AVIR_TPU_GAMMA_ROUTE", "auto"))
 
         def build():
             single = self._single_executor(probe, new_w, new_h, **kwargs)
