@@ -207,23 +207,18 @@ def make_avir_executor(
         # the bf16 splits' headroom there (rare, perf-immaterial).
         and trunc_bits == 0
     )
-    kind = "unfused"
+    fused = False
     forder = "vh"
-    pop = None
     if pallas and mode1 != "exact":
-        from ..ops.pallas.fused_kernel import choose_path
+        from ..ops.pallas.fused_kernel import choose_fused
 
         if int8_ok:
             mode1 = mode2 = "int8"
-        kind, forder = choose_path(
-            vop, lop, None, mode1, mode2, plan.use_srgb_gamma, c
+        fused, forder = choose_fused(
+            vop, lop, mode1, mode2, plan.use_srgb_gamma, c
         )
-        if kind != "fused" and mode1 == "int8":
+        if not fused and mode1 == "int8":
             mode1, mode2 = resolve_modes(precision, in_exact_bf16)
-        if kind == "planar":  # not currently selected; see choose_path
-            from ..ops.lanes import lane_block_banded
-
-            pop = lane_block_banded(plan.h.op, 1)
     mv, mh = (mode1, mode2) if forder == "vh" else (mode2, mode1)
 
     # Gamma-route selection for the int8 fused path.  Three
@@ -240,7 +235,7 @@ def make_avir_executor(
     # AVIR_TPU_GAMMA_ROUTE overrides for tuning/probing.
     gamma_pre = False
     use_ring = False
-    if kind == "fused" and mode1 == "int8" and plan.use_srgb_gamma:
+    if fused and mode1 == "int8" and plan.use_srgb_gamma:
         import os
 
         from ..ops.pallas.fused_kernel import fused_viable
@@ -281,44 +276,7 @@ def make_avir_executor(
     def run(src: jax.Array) -> jax.Array:
         # src is [h, w*c] (2-D interleaved) — keeps host<->device
         # transfers and device layouts free of C-minor tile padding.
-        if kind == "planar":
-            from ..ops.pallas.planar_kernel import (
-                apply_planar_pallas,
-                deinterleave,
-                plane_stride,
-                reinterleave,
-            )
-
-            fuse_quant = (
-                not plan.is_out_float
-                and not errdiff
-                and not return_predither
-            )
-            hp = plane_stride(vop)
-            wp = max(w, pop.lanes_pad)
-            xp = deinterleave(src, h, w, c, hp, wp)
-            outp = apply_planar_pallas(
-                vop, pop, xp, c, mode1, mode2,
-                out_dtype=(out_dt if fuse_quant else jnp.float32),
-                out_max=plan.out_type_max,
-                trunc_bits=trunc_bits if fuse_quant else 0,
-                gamma=plan.use_srgb_gamma,
-                alpha_plane=plan.alpha_index,
-                in_gamma_mult=plan.in_gamma_mult,
-                out_gamma_mult=plan.out_gamma_mult,
-            )
-            x = reinterleave(
-                outp, c, vop.n_blocks * vop.tile, vop.n_out, hop.n_out
-            )
-            if fuse_quant or plan.is_out_float or return_predither:
-                return x
-            x3 = errdiff_dither_jnp(
-                x.reshape(vop.n_out, hop.n_out, c),
-                trunc_bits,
-                plan.out_type_max,
-            )
-            return x3.reshape(vop.n_out, hop.n_out * c).astype(out_dt)
-        if kind == "fused":
+        if fused:
             from ..ops.pallas.fused_kernel import apply_fused_pallas
 
             # The fused kernel takes the RAW image and applies gamma,
@@ -445,57 +403,24 @@ def make_lancir_executor(
         and not plan.is_out_float
         and plan.clamp == 255.0
     )
-    kind = "unfused"
+    fused = False
     forder = "vh"
-    pop = None
     if pallas and mode1 != "exact":
-        from ..ops.pallas.fused_kernel import choose_path
+        from ..ops.pallas.fused_kernel import choose_fused
 
         if int8_ok:
             mode1 = mode2 = "int8"
-        kind, forder = choose_path(
-            vop, lop, None, mode1, mode2, False, c
+        fused, forder = choose_fused(
+            vop, lop, mode1, mode2, False, c
         )
-        if kind != "fused" and mode1 == "int8":
+        if not fused and mode1 == "int8":
             mode1, mode2 = resolve_modes(precision, in_exact_bf16)
-        if kind == "planar":  # not currently selected; see choose_path
-            from ..ops.lanes import lane_block_banded
-
-            pop = lane_block_banded(plan.h, 1)
     mv, mh = (mode1, mode2) if forder == "vh" else (mode2, mode1)
 
     @jax.jit
     def run(src: jax.Array) -> jax.Array:
         # src is [h, w*c]; output is [new_h, new_w*c].
-        if kind == "planar":
-            from ..ops.pallas.planar_kernel import (
-                apply_planar_pallas,
-                deinterleave,
-                plane_stride,
-                reinterleave,
-            )
-
-            hp = plane_stride(vop)
-            wp = max(w, pop.lanes_pad)
-            xp = deinterleave(src, h, w, c, hp, wp)
-            outp = apply_planar_pallas(
-                vop, pop, xp, c, mode1, mode2,
-                out_dtype=(
-                    out_dt if not plan.is_out_float else jnp.float32
-                ),
-                out_max=plan.clamp,
-                scale=plan.out_mul,
-                round_mode="even",
-            )
-            x = reinterleave(
-                outp, c, vop.n_blocks * vop.tile, vop.n_out, hop.n_out
-            )
-            if not plan.is_out_float:
-                return x
-            if plan.out_mul != 1.0:
-                x = x * jnp.float32(plan.out_mul)
-            return x
-        if kind == "fused":
+        if fused:
             from ..ops.pallas.fused_kernel import apply_fused_pallas
 
             out2 = apply_fused_pallas(

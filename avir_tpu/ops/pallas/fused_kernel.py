@@ -553,30 +553,6 @@ def apply_fused_pallas(
     return out
 
 
-def choose_path(
-    vop: BlockedBandedOp,
-    lop: LaneBlockedOp,
-    pop,
-    mode1: str,
-    mode2: str,
-    gamma: bool,
-    c: int,
-) -> tuple[str, str]:
-    """(kind, order) with kind in {"planar", "fused", "unfused"}.
-
-    The planar2 kernel (ops/pallas/planar2_kernel.py) cuts the
-    horizontal MXU work by the channel count versus the interleaved
-    fused kernel (dense vs channel-diagonal taps) via an in-VMEM
-    lane-strided de-interleave of the inter-pass intermediate.
-    (The v1 planar kernel — whole-image [h,w,c]->[c,h,w] de-interleave
-    in HBM, ops/pallas/planar_kernel.py — measured 2x SLOWER than the
-    interleaved fused kernel on the 8K bench: the channels-minor
-    transpose costs more than the MACs it saves.  Kept for reference.)
-    """
-    use_fused, order = choose_fused(vop, lop, mode1, mode2, gamma, c)
-    return ("fused" if use_fused else "unfused"), order
-
-
 def choose_fused(
     vop: BlockedBandedOp,
     lop: LaneBlockedOp,

@@ -29,7 +29,7 @@ compile under Mosaic — ``vector.extract_strided_slice`` is restricted
 to stride 1, and the TPU gather lowering only supports within-register
 (128-lane) permutations, so there is no efficient in-VMEM lane
 de-interleave primitive today.  The routing layer
-(fused_kernel.choose_path) therefore never selects this kernel; it is
+(fused_kernel.choose_fused) therefore never selects this kernel; it is
 kept as the ready-made fast path for when Mosaic grows strided lane
 slices.  (The v1 alternative — whole-image de-interleave in HBM,
 planar_kernel.py — compiles but measured 2x slower than the
