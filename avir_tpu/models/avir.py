@@ -19,6 +19,32 @@ from ..plan.plan import build_resize_plan
 from .runtime import make_avir_executor
 
 
+def _host_executor(plan, sh, sw, ch, dither):
+    """Float64 host-oracle executor (the public precision="f64" /
+    engine="host" route): NumPy double-precision compute end to end,
+    the reference's fptype=double mode (avir.h:4569-4592).  Error
+    diffusion runs through the native serial scan when available."""
+    from .host_reference import execute_plan_numpy
+
+    errdiff = dither in ("errdiff", "errdiff-device")
+
+    def run(x2d):
+        src3 = np.asarray(x2d).reshape(sh, sw, ch)
+        if not errdiff or plan.is_out_float:
+            return execute_plan_numpy(src=src3, plan=plan)
+        from .. import native
+
+        pre = execute_plan_numpy(plan, src3, return_predither=True)
+        out_bits = 8 if plan.out_type_max == 255.0 else 16
+        trunc_bits = out_bits - plan.res_bit_depth
+        out = native.errdiff_dither(pre, trunc_bits, plan.out_type_max)
+        return out.astype(
+            np.uint8 if out_bits == 8 else np.uint16
+        )
+
+    return run
+
+
 class ImageResizer:
     """Image resizer with a fixed quality preset and output bit depth.
 
@@ -65,6 +91,7 @@ class ImageResizer:
         build_mode: int = -1,
         precision: str = "auto",
         rnd_seed: int = 0,
+        engine: str = "auto",
     ) -> np.ndarray:
         """Resize ``src`` ([H, W, C] or [H, W]) to new_w x new_h.
 
@@ -80,9 +107,17 @@ class ImageResizer:
         (avir.h:2533-2535): a hook for custom ditherers; like the
         reference's shipped ditherers, the built-in ones are
         deterministic and ignore it.
+        ``precision``: "auto" / "exact" / "fast" device tiers (see
+        models/runtime.py), or "f64" — true double-precision compute on
+        the host oracle, the reference's fptype=double mode
+        (avir.h:4569-4592; TPUs have no f64 units, so this runs the
+        NumPy float64 pipeline).  ``engine``: "auto" / "pallas" /
+        "xla" device engines, or "host" (implied by precision="f64").
         Returns a NumPy array in the output dtype.
         """
         del rnd_seed
+        if precision == "f64":
+            engine = "host"
         src = np.asarray(src)
         squeeze = src.ndim == 2
         if squeeze:
@@ -103,7 +138,7 @@ class ImageResizer:
         key = (
             sw, sh, new_w, new_h, ch, src.dtype.str, out_dtype.str,
             k, ox, oy, use_srgb_gamma, alpha_index, dither, build_mode,
-            precision,
+            precision, engine,
             # routing env knob participates in executor identity
             os.environ.get("AVIR_TPU_GAMMA_ROUTE", "auto"),
         )
@@ -127,11 +162,14 @@ class ImageResizer:
                 plan = build_resize_plan_cached(**plan_kwargs)
             else:
                 plan = build_resize_plan(**plan_kwargs)
+            if engine == "host":
+                return _host_executor(plan, sh, sw, ch, dither)
             fn = make_avir_executor(
                 plan,
                 errdiff=(dither == "errdiff-device"),
                 precision=precision,
                 return_predither=host_errdiff,
+                engine=engine,
             )
             if not host_errdiff:
                 return fn

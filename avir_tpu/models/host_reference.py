@@ -74,10 +74,17 @@ def math_round(d: float) -> float:
 
 
 def execute_plan_numpy(
-    plan: ResizePlan, src: np.ndarray, errdiff: bool = False
+    plan: ResizePlan,
+    src: np.ndarray,
+    errdiff: bool = False,
+    return_predither: bool = False,
 ) -> np.ndarray:
     """Run a full resize on the host. src is [H, W, C] of the planned
-    input dtype; returns [new_h, new_w, C] of the output dtype."""
+    input dtype; returns [new_h, new_w, C] of the output dtype.
+
+    ``return_predither=True`` returns the float64 image after gamma-out
+    but before the dither/quantize stage, so a faster external ditherer
+    (e.g. the native error-diffusion scan) can finish the job."""
     x = src.astype(np.float64)
 
     if plan.use_srgb_gamma:
@@ -100,6 +107,8 @@ def execute_plan_numpy(
             np.float64 if getattr(plan, "out_float64", False)
             else np.float32
         )
+    if return_predither:
+        return x
 
     out_bits = 8 if plan.out_type_max == 255.0 else 16
     trunc_bits = out_bits - plan.res_bit_depth
@@ -109,3 +118,29 @@ def execute_plan_numpy(
         x = default_dither(x, trunc_bits, plan.out_type_max)
     dtype = np.uint8 if out_bits == 8 else np.uint16
     return x.astype(dtype)
+
+
+def execute_lancir_numpy(plan, src: np.ndarray) -> np.ndarray:
+    """Float64 host execution of a LancirPlan — the LANCIR analog of
+    ``execute_plan_numpy`` and the compute path behind the public
+    ``precision="f64"`` tier (the reference templates the whole LANCIR
+    pipeline on T = double, /root/reference/lancir.h:386-390).
+
+    src is [H, W, C] of the planned input dtype; returns
+    [new_h, new_w, C] in the planned output representation (float64 for
+    float outputs, round-half-even quantized ints otherwise, matching
+    the reference's nearest-even output conversions,
+    lancir.h:1870-2002)."""
+    x = src.astype(np.float64)
+    x = np.moveaxis(x, 1, 0)  # [W, H, C]
+    x = apply_banded_numpy(plan.h, x)
+    x = np.moveaxis(x, 0, 1)  # [H, new_w, C]
+    x = apply_banded_numpy(plan.v, x)
+    if plan.out_mul != 1.0:
+        x = x * plan.out_mul
+    if plan.is_out_float:
+        return x
+    # np.rint is round-half-even, like the SIMD cvt instructions the
+    # reference's outputScanline relies on.
+    x = np.clip(np.rint(x), 0.0, plan.clamp)
+    return x.astype(np.uint8 if plan.clamp == 255.0 else np.uint16)

@@ -39,6 +39,9 @@ class LancIR:
         ``kx``/``ky``: 0 = auto scale with centering; >0 = given scale
         with centering; <0 = |k| without centering (lancir.h:430-457).
         ``la``: Lanczos window size, >= 2 (lancir.h:291-307).
+        ``precision``: "auto" / "exact" / "fast" device tiers, or
+        "f64" — true double-precision compute on the host oracle (the
+        reference's T=double instantiation, lancir.h:386-390).
         """
         src = np.asarray(src)
         squeeze = src.ndim == 2
@@ -67,7 +70,16 @@ class LancIR:
                     sw, sh, new_w, new_h, ch, src.dtype, out_dtype,
                     kx=kx, ky=ky, ox=ox, oy=oy, la=la,
                 )
-                fn = make_lancir_executor(plan, precision=precision)
+                if precision == "f64":
+                    from .host_reference import execute_lancir_numpy
+
+                    def fn(x2d, _plan=plan, _sh=sh, _sw=sw, _ch=ch):
+                        return execute_lancir_numpy(
+                            _plan,
+                            np.asarray(x2d).reshape(_sh, _sw, _ch),
+                        )
+                else:
+                    fn = make_lancir_executor(plan, precision=precision)
                 self._cache[key] = fn
         out = np.asarray(fn(src.reshape(sh, sw * ch))).reshape(
             new_h, new_w, ch

@@ -235,6 +235,7 @@ def make_avir_executor(
     # AVIR_TPU_GAMMA_ROUTE overrides for tuning/probing.
     gamma_pre = False
     use_ring = False
+    vop_ring = None
     if fused and mode1 == "int8" and plan.use_srgb_gamma:
         import os
 
@@ -242,7 +243,18 @@ def make_avir_executor(
         from ..ops.pallas.fused_ring_kernel import ring_viable
 
         route = os.environ.get("AVIR_TPU_GAMMA_ROUTE", "auto")
-        ring_ok = ring_viable(vop, lop, True, forder)
+        # The ring kernel needs constant window strides; the uniform
+        # blocking mode trades the boundary blocks' clamped offsets for
+        # top/bottom zero padding (one extra HBM copy of the source).
+        try:
+            vop_ring = block_banded(plan.v.op, tile=tile, uniform=True)
+        except ValueError:
+            vop_ring = None
+        ring_ok = (
+            vop_ring is not None
+            and vop_ring.taps_q1 is not None
+            and ring_viable(vop_ring, lop, True, forder)
+        )
         pre_ok = fused_viable(vop, lop, forder, in_bytes=2)
         if route == "ring":
             use_ring = ring_ok
@@ -294,7 +306,7 @@ def make_avir_executor(
                 # use_ring implies int8_ok, which excludes errdiff /
                 # predither / float output — quantization always fuses.
                 out2 = apply_fused_ring_pallas(
-                    vop, lop, src,
+                    vop_ring, lop, src,
                     out_dtype=out_dt,
                     out_max=plan.out_type_max,
                     trunc_bits=trunc_bits,

@@ -107,6 +107,11 @@ class BlockedBandedOp:
     # overflow bounds for the fused kernel's gamma int8 path.
     q_abs1: int = 0
     q_abs0: int = 0
+    # Rows of zero-padding prepended to the input (uniform-offset
+    # blocking only): offsets/taps are expressed in the padded
+    # coordinate system, so callers must shift the input down by
+    # pad_top rows before applying the operator.
+    pad_top: int = 0
 
     @property
     def n_blocks(self) -> int:
@@ -121,36 +126,78 @@ def block_banded(
     op: BandedOp,
     tile: int | None = None,
     lane_align: int = 128,
+    uniform: bool = False,
 ) -> BlockedBandedOp:
-    """Lower a BandedOp to its blocked dense-matmul form."""
+    """Lower a BandedOp to its blocked dense-matmul form.
+
+    ``uniform=True`` forces a CONSTANT window stride: offs[b] = off0 +
+    b*delta with off0 and delta multiples of 32 (the shift-ring
+    kernel's contract, ops/pallas/fused_ring_kernel.py).  The boundary
+    blocks — whose natural windows the default mode clamps into the
+    input — are instead covered by zero-padding ``pad_top`` rows at the
+    top (and more at the bottom via ``n_in_pad``); offsets and taps are
+    expressed in the padded coordinates.  Raises ValueError when the
+    plan's stride pattern is not uniform (non-constant-k)."""
     if tile is None:
         tile = pick_tile(op)
     n_out, width = op.n_out, op.width
     n_blocks = -(-n_out // tile)
 
     starts = op.starts.astype(np.int64)
-    offs = np.empty(n_blocks, dtype=np.int64)
-    spans = np.empty(n_blocks, dtype=np.int64)
-    for b in range(n_blocks):
-        lo = b * tile
-        hi = min(lo + tile, n_out)
-        # Align window starts to the coarsest sublane tiling (32 rows,
-        # u8) so the Pallas kernel's element-offset windows satisfy
-        # Mosaic's divisibility requirement.
-        offs[b] = (starts[lo] // 32) * 32
-        spans[b] = starts[hi - 1] + width - offs[b]
-    win = _round_up(int(spans.max()), lane_align)
-
-    # Pull overrunning tail windows left (32-aligned) so offs+win fits
-    # inside the input — padding an 8K source costs a full extra HBM
-    # copy.  Only possible when the widened spans still fit in win.
-    max_off = (op.n_in - win) // 32 * 32
-    if max_off >= 0 and int((spans + np.maximum(offs - max_off, 0)).max()) <= win:
-        shift = np.maximum(offs - max_off, 0)
-        offs -= shift
-        n_in_pad = op.n_in
+    pad_top = 0
+    if uniform:
+        if n_blocks < 2:
+            raise ValueError("uniform blocking needs >= 2 blocks")
+        lo_starts = starts[np.arange(n_blocks) * tile]
+        # Interior strides of a constant-k plan are exactly tile*k;
+        # the first/last may differ (edge clamping in op.starts).
+        deltas = np.diff(lo_starts[1:-1])
+        if len(deltas) and not (deltas == deltas[0]).all():
+            raise ValueError("non-uniform stride")
+        delta = int(deltas[0]) if len(deltas) else int(
+            np.diff(lo_starts).max()
+        )
+        if delta <= 0 or delta % 32:
+            raise ValueError("stride not a positive multiple of 32")
+        # offs[b] must start at or before each block's first tap row;
+        # a negative base becomes top padding.
+        off0 = int((lo_starts - delta * np.arange(n_blocks)).min())
+        off0 = (off0 // 32) * 32
+        pad_top = max(0, -off0)
+        offs = off0 + pad_top + delta * np.arange(n_blocks)
+        starts = starts + pad_top
+        spans = np.empty(n_blocks, dtype=np.int64)
+        for b in range(n_blocks):
+            hi = min(b * tile + tile, n_out)
+            spans[b] = starts[hi - 1] + width - offs[b]
+        win = _round_up(int(spans.max()), lane_align)
+        n_in_pad = max(op.n_in + pad_top, int(offs.max()) + win)
     else:
-        n_in_pad = max(op.n_in, int(offs.max()) + win)
+        offs = np.empty(n_blocks, dtype=np.int64)
+        spans = np.empty(n_blocks, dtype=np.int64)
+        for b in range(n_blocks):
+            lo = b * tile
+            hi = min(lo + tile, n_out)
+            # Align window starts to the coarsest sublane tiling (32
+            # rows, u8) so the Pallas kernel's element-offset windows
+            # satisfy Mosaic's divisibility requirement.
+            offs[b] = (starts[lo] // 32) * 32
+            spans[b] = starts[hi - 1] + width - offs[b]
+        win = _round_up(int(spans.max()), lane_align)
+
+        # Pull overrunning tail windows left (32-aligned) so offs+win
+        # fits inside the input — padding an 8K source costs a full
+        # extra HBM copy.  Only possible when the widened spans still
+        # fit in win.
+        max_off = (op.n_in - win) // 32 * 32
+        if max_off >= 0 and int(
+            (spans + np.maximum(offs - max_off, 0)).max()
+        ) <= win:
+            shift = np.maximum(offs - max_off, 0)
+            offs -= shift
+            n_in_pad = op.n_in
+        else:
+            n_in_pad = max(op.n_in, int(offs.max()) + win)
 
     dense = np.zeros((n_blocks, tile, win), dtype=np.float32)
     rows = np.arange(n_out)
@@ -189,6 +236,7 @@ def block_banded(
         q_abs0=0 if q0 is None else int(
             np.abs(q0.astype(np.int64)).sum(axis=2).max()
         ),
+        pad_top=pad_top,
     )
 
 
@@ -215,8 +263,14 @@ def apply_blocked(
     image).
     """
     r = x.shape[1]
-    if bop.n_in_pad > x.shape[0]:
-        x = jnp.pad(x, ((0, bop.n_in_pad - x.shape[0]), (0, 0)))
+    if bop.pad_top or bop.n_in_pad > x.shape[0]:
+        x = jnp.pad(
+            x,
+            (
+                (bop.pad_top, bop.n_in_pad - bop.pad_top - x.shape[0]),
+                (0, 0),
+            ),
+        )
     idx = bop.offs[:, None] + jnp.arange(bop.win, dtype=jnp.int32)[None, :]
     xw = jnp.take(x, idx.reshape(-1), axis=0).reshape(
         bop.n_blocks, bop.win, r

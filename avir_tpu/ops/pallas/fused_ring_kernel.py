@@ -176,11 +176,14 @@ def apply_fused_ring_pallas(
 
     need_rows = vop.n_in_pad
     need_lanes = lop.lanes_pad
-    if need_rows > rows or need_lanes > lanes:
+    if vop.pad_top or need_rows > rows or need_lanes > lanes:
         x = jnp.pad(
             x,
             (
-                (0, max(need_rows - rows, 0)),
+                (
+                    vop.pad_top,
+                    max(need_rows - vop.pad_top - rows, 0),
+                ),
                 (0, max(need_lanes - lanes, 0)),
             ),
         )

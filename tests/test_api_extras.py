@@ -90,6 +90,62 @@ def test_float64_dtype_round_trip():
     assert lout.dtype == np.float64
 
 
+def test_f64_host_route_matches_golden():
+    """precision="f64" computes in true float64 on the host oracle
+    (the reference's fptype=double mode, avir.h:4569-4592) and matches
+    the golden a_f64 dump at the host tolerance."""
+    import json
+
+    from conftest import GOLDEN_DIR, load_golden
+
+    with open(GOLDEN_DIR / "manifest.json") as f:
+        cfg = json.load(f)["a_f64"]
+    src = xorshift128_fill(
+        (cfg["sh"], cfg["sw"], cfg["ch"]), np.float64, cfg["seed"]
+    )
+    rz = avir_tpu.ImageResizer(res_bit_depth=cfg["bitdepth"])
+    out = rz.resize(src, cfg["nw"], cfg["nh"], precision="f64")
+    assert out.dtype == np.float64
+    ref = load_golden("a_f64")
+    np.testing.assert_allclose(out, ref, rtol=0, atol=5e-7)
+    # engine="host" is the same route
+    out2 = rz.resize(src, cfg["nw"], cfg["nh"], engine="host")
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_f64_host_route_int_and_errdiff():
+    """The host route covers integer outputs (incl. error diffusion via
+    the native scan) and stays within 1 LSB of the device route."""
+    src = xorshift128_fill((48, 64, 3), np.uint8, 77)
+    rz = avir_tpu.ImageResizer()
+    host = rz.resize(src, 32, 24, precision="f64")
+    dev = rz.resize(src, 32, 24)
+    assert host.dtype == np.uint8
+    assert np.abs(host.astype(int) - dev.astype(int)).max() <= 1
+
+    hd = rz.resize(src, 32, 24, precision="f64", dither="errdiff")
+    assert hd.dtype == np.uint8 and hd.shape == (24, 32, 3)
+    # errdiff quantization noise stays bounded vs the undithered image
+    assert np.abs(hd.astype(int) - host.astype(int)).max() <= 2
+
+
+def test_f64_lancir_host_route():
+    """LANCIR precision="f64" runs the float64 host oracle and matches
+    the device route within 1 LSB (u8) / 5e-7 (float)."""
+    src = xorshift128_fill((40, 56, 3), np.uint8, 31)
+    lz = avir_tpu.LancIR()
+    host = lz.resize(src, 28, 20, precision="f64")
+    dev = lz.resize(src, 28, 20)
+    assert host.dtype == np.uint8
+    assert np.abs(host.astype(int) - dev.astype(int)).max() <= 1
+
+    srcf = xorshift128_fill((30, 40, 2), np.float64, 32)
+    outf = lz.resize(srcf, 50, 60, precision="f64")
+    assert outf.dtype == np.float64
+    ref32 = lz.resize(srcf.astype(np.float32), 50, 60)
+    np.testing.assert_allclose(outf, ref32, rtol=0, atol=5e-5)
+
+
 def test_make_resize_fn_traceable():
     """make_resize_fn composes under the caller's jit/vmap and matches
     the host-driver route."""

@@ -590,10 +590,14 @@ def test_fused_ring_kernel_matches_fused():
         ring_viable,
     )
 
-    for sw, sh, nw, nh, c, alpha, tile, seed in (
-        (256, 768, 64, 192, 3, -1, 64, 5),     # n_pre == 1
-        (128, 768, 32, 192, 4, 3, 64, 9),      # n_pre == 1, alpha
-        (384, 512, 96, 128, 3, -1, None, 17),  # n_pre == 2
+    for sw, sh, nw, nh, c, alpha, tile, seed, uniform in (
+        (256, 768, 64, 192, 3, -1, 64, 5, False),     # n_pre == 1
+        (128, 768, 32, 192, 4, 3, 64, 9, False),      # n_pre == 1, alpha
+        (384, 512, 96, 128, 3, -1, None, 17, False),  # n_pre == 2
+        # uniform-offset blocking: boundary clamping replaced by
+        # pad_top (the 8K-headline geometry analog)
+        (512, 1024, 128, 256, 3, -1, 64, 23, True),
+        (256, 960, 128, 480, 4, 3, 64, 29, True),     # 2x, pad_top
     ):
         plan = build_resize_plan(
             sw, sh, nw, nh, c, np.uint8, np.uint8,
@@ -601,7 +605,11 @@ def test_fused_ring_kernel_matches_fused():
         )
         vop = block_banded(plan.v.op, tile=tile)
         lop = lane_block_banded(plan.h.op, c)
-        assert ring_viable(vop, lop, True, "vh"), (sw, sh, nw, nh)
+        ring_vop = vop
+        if uniform:
+            ring_vop = block_banded(plan.v.op, tile=tile, uniform=True)
+            assert ring_vop.pad_top > 0, (sw, sh, nw, nh)
+        assert ring_viable(ring_vop, lop, True, "vh"), (sw, sh, nw, nh)
         x = xorshift128_fill((sh, sw * c), np.uint8, seed)
 
         kw = dict(
@@ -617,6 +625,6 @@ def test_fused_ring_kernel_matches_fused():
             )
         )[:nh, : nw * c]
         got = np.asarray(
-            apply_fused_ring_pallas(vop, lop, jnp.asarray(x), **kw)
+            apply_fused_ring_pallas(ring_vop, lop, jnp.asarray(x), **kw)
         )[:nh, : nw * c]
         np.testing.assert_array_equal(got, base)

@@ -28,8 +28,11 @@ CONFIGS = [
 def main():
     import jax.numpy as jnp
 
+    want = sys.argv[1:]
     rng = np.random.default_rng(11)
     for name, sw, sh, nw, nh in CONFIGS:
+        if want and not any(w in name for w in want):
+            continue
         src = rng.integers(0, 256, (sh, sw * 3), dtype=np.uint8)
         plan = build_resize_plan(
             sw, sh, nw, nh, 3, np.uint8, np.uint8, use_srgb_gamma=True
@@ -75,7 +78,8 @@ def main():
         jax.block_until_ready(main(hi, lo))
         t_main, _ = device_ms(lambda: main(hi, lo))
 
-        # Shift-ring kernel (fused_ring_kernel.py), where viable.
+        # Shift-ring kernel (fused_ring_kernel.py) via the executor
+        # route (builds the uniform-offset vop internally).
         from avir_tpu.ops.pallas.fused_ring_kernel import (
             apply_fused_ring_pallas,
             ring_viable,
@@ -83,17 +87,18 @@ def main():
 
         t_ring = float("nan")
         ring_same = "-"
-        if ring_viable(vop, lop, True, "vh"):
-            ringf = jax.jit(
-                lambda a: apply_fused_ring_pallas(
-                    vop, lop, a, out_dtype=jnp.uint8, out_max=255.0,
-                    alpha_index=plan.alpha_index,
-                    in_gamma_mult=plan.in_gamma_mult,
-                    out_gamma_mult=plan.out_gamma_mult,
-                )[: plan.new_h, : plan.new_w * 3]
-            )
-            out_ring = np.asarray(jax.block_until_ready(ringf(d)))
-            t_ring, _ = device_ms(lambda: ringf(d))
+        try:
+            vop_ring = block_banded(plan.v.op, uniform=True)
+        except ValueError:
+            vop_ring = None
+        if vop_ring is not None and ring_viable(vop_ring, lop, True, "vh"):
+            os.environ["AVIR_TPU_GAMMA_ROUTE"] = "ring"
+            try:
+                ringf = make_avir_executor(plan)
+                out_ring = np.asarray(ringf(d))
+                t_ring, _ = device_ms(lambda: ringf(d))
+            finally:
+                os.environ.pop("AVIR_TPU_GAMMA_ROUTE")
             ring_same = bool(np.array_equal(out_ring, out_old))
 
         same = np.array_equal(out_new, out_old)
