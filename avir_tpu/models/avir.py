@@ -23,13 +23,16 @@ def _host_executor(plan, sh, sw, ch, dither):
     """Float64 host-oracle executor (the public precision="f64" /
     engine="host" route): NumPy double-precision compute end to end,
     the reference's fptype=double mode (avir.h:4569-4592).  Error
-    diffusion runs through the native serial scan when available."""
+    diffusion runs through the native serial scan when available.
+
+    Takes the [H, W, C] array DIRECTLY (possibly a strided view of a
+    larger buffer — the reference's SrcScanlineSize contract,
+    avir.h:4680-4692) and never copies the input."""
     from .host_reference import execute_plan_numpy
 
     errdiff = dither in ("errdiff", "errdiff-device")
 
-    def run(x2d):
-        src3 = np.asarray(x2d).reshape(sh, sw, ch)
+    def run(src3):
         if not errdiff or plan.is_out_float:
             return execute_plan_numpy(src=src3, plan=plan)
         from .. import native
@@ -42,6 +45,7 @@ def _host_executor(plan, sh, sw, ch, dither):
             np.uint8 if out_bits == 8 else np.uint16
         )
 
+    run.host_3d = True  # driver passes [H, W, C] without flattening
     return run
 
 
@@ -191,9 +195,16 @@ class ImageResizer:
 
             return run
 
-        out = np.asarray(
-            self._executor(key, build)(src.reshape(sh, sw * ch))
-        ).reshape(new_h, new_w, ch)
+        fn = self._executor(key, build)
+        # The host engine consumes the (possibly strided) [H, W, C]
+        # view as-is — zero-copy window resizing, the reference's
+        # SrcScanlineSize contract (avir.h:4680-4692).  Device engines
+        # flatten to the executors' [H, W*C] layout (a copy only for
+        # non-contiguous views; the device transfer packs anyway).
+        arg = src if getattr(fn, "host_3d", False) else src.reshape(
+            sh, sw * ch
+        )
+        out = np.asarray(fn(arg)).reshape(new_h, new_w, ch)
         if out.dtype != out_dtype:
             # float64 round-trip (the reference's fptype=double mode,
             # avir.h:4569-4592): device compute is float32 — TPUs have

@@ -73,17 +73,19 @@ class LancIR:
                 if precision == "f64":
                     from .host_reference import execute_lancir_numpy
 
-                    def fn(x2d, _plan=plan, _sh=sh, _sw=sw, _ch=ch):
-                        return execute_lancir_numpy(
-                            _plan,
-                            np.asarray(x2d).reshape(_sh, _sw, _ch),
-                        )
+                    def fn(src3, _plan=plan):
+                        return execute_lancir_numpy(_plan, src3)
+
+                    # zero-copy strided-view input (the reference's
+                    # SrcSSize stride contract, lancir.h:260-307)
+                    fn.host_3d = True
                 else:
                     fn = make_lancir_executor(plan, precision=precision)
                 self._cache[key] = fn
-        out = np.asarray(fn(src.reshape(sh, sw * ch))).reshape(
-            new_h, new_w, ch
+        arg = src if getattr(fn, "host_3d", False) else src.reshape(
+            sh, sw * ch
         )
+        out = np.asarray(fn(arg)).reshape(new_h, new_w, ch)
         if out.dtype != out_dtype:
             # float64 round-trip (reference templates on T = double,
             # lancir.h:386-390): f32 device compute, dtype preserved.

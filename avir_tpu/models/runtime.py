@@ -222,8 +222,7 @@ def make_avir_executor(
     mv, mh = (mode1, mode2) if forder == "vh" else (mode2, mode1)
 
     # Gamma-route selection for the int8 fused path.  Three
-    # implementations of the sRGB pack stage exist (all bit-identical;
-    # see docs/perf_analysis.md for the measured trade-offs):
+    # implementations of the sRGB pack stage exist (all bit-identical):
     #   - "inkernel": linearization polynomial inside the fused kernel,
     #     recomputed over the window overlap;
     #   - "prologue": linearize-once kernel writing s8 limb planes
@@ -232,7 +231,19 @@ def make_avir_executor(
     #   - "ring": shift-ring fused kernel — only the new delta rows are
     #     fetched and linearized per cell (ops/pallas/fused_ring_kernel
     #     .py; uniform-stride downsizes only).
-    # AVIR_TPU_GAMMA_ROUTE overrides for tuning/probing.
+    # Measured on v5e (tools/probe_gpre.py / probe_ring_ablate.py,
+    # docs/perf_analysis.md):
+    #            inkernel  prologue   ring
+    #   VGA->XGA    0.069     0.084      -    ms
+    #   1080p->4K   0.759     0.793      -
+    #   4K->720p    0.391     0.648   0.653
+    #   8K->1080p   1.216     2.019   2.324
+    # "inkernel" wins everywhere: the separated routes pay the sRGB
+    # polynomial at ~3x lower VPU throughput when its output must be
+    # stored (prologue: HBM limb planes; ring: VMEM scratch) instead of
+    # feeding the MXU from registers, which costs more than the window
+    # overlap they eliminate.  auto therefore always takes "inkernel";
+    # AVIR_TPU_GAMMA_ROUTE overrides for re-probing.
     gamma_pre = False
     use_ring = False
     vop_ring = None

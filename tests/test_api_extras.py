@@ -146,6 +146,43 @@ def test_f64_lancir_host_route():
     np.testing.assert_allclose(outf, ref32, rtol=0, atol=5e-5)
 
 
+def test_strided_view_roi_input():
+    """Both drivers accept strided sub-rectangle views of a larger
+    buffer (the reference's SrcScanlineSize / SrcSSize stride contract,
+    avir.h:4680-4692, lancir.h:260-307) and produce output identical to
+    resizing a contiguous copy of the window.  The host engine reads
+    the view through its strides without a flattening copy."""
+    big = xorshift128_fill((100, 140, 3), np.uint8, 55)
+    view = big[20:68, 30:94]          # [48, 64, 3] non-contiguous
+    assert not view.flags["C_CONTIGUOUS"]
+    dense = np.ascontiguousarray(view)
+
+    rz = avir_tpu.ImageResizer()
+    np.testing.assert_array_equal(
+        rz.resize(view, 32, 24), rz.resize(dense, 32, 24)
+    )
+    np.testing.assert_array_equal(
+        rz.resize(view, 32, 24, precision="f64"),
+        rz.resize(dense, 32, 24, precision="f64"),
+    )
+    lz = avir_tpu.LancIR()
+    np.testing.assert_array_equal(
+        lz.resize(view, 32, 24), lz.resize(dense, 32, 24)
+    )
+    np.testing.assert_array_equal(
+        lz.resize(view, 32, 24, precision="f64"),
+        lz.resize(dense, 32, 24, precision="f64"),
+    )
+
+    # channel-strided view (e.g. dropping alpha from RGBA in place)
+    rgba = xorshift128_fill((40, 56, 4), np.uint8, 56)
+    rgb_view = rgba[:, :, :3]
+    np.testing.assert_array_equal(
+        rz.resize(rgb_view, 28, 20),
+        rz.resize(np.ascontiguousarray(rgb_view), 28, 20),
+    )
+
+
 def test_make_resize_fn_traceable():
     """make_resize_fn composes under the caller's jit/vmap and matches
     the host-driver route."""

@@ -69,8 +69,9 @@ def run_variant(name, body, out_shape, scratch_shapes, check=None):
 
 
 def fill_f32(ref, shape):
-    r = jax.lax.broadcasted_iota(jnp.float32, shape, 0)
-    c = jax.lax.broadcasted_iota(jnp.float32, shape, 1)
+    # Mosaic's tpu.iota wants integer results; convert after.
+    r = jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
+    c = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
     ref[...] = r * 0.25 + c * 0.5
 
 
@@ -110,7 +111,7 @@ def main():
             acc[...] = acc[...] + (src[...] + k.astype(jnp.float32)).T
 
         loop(REPS, it, acc)
-        o_ref[...] = acc[:8, :128]
+        o_ref[...] = jnp.pad(acc[:8, :64], ((0, 0), (0, 64)))
 
     run_variant(
         "xpose_f32 [64,1792]->T", v_xpose, (8, 128),
@@ -129,7 +130,7 @@ def main():
             )
 
         loop(REPS, it, acc)
-        o_ref[...] = acc[:8, :128]
+        o_ref[...] = jnp.pad(acc[:8, :64], ((0, 0), (0, 64)))
 
     run_variant(
         "xpose_s8 [64,1792]->T", v_xpose_s8, (8, 128),
