@@ -604,7 +604,7 @@ def choose_fused(
     if mode1 == "int8":
         order = "vh" if downsize else "hv"
         use = int8_feasible(vop, lop, order, gamma) and fused_viable(
-            vop, lop, order
+            vop, lop, order, int8=True
         )
         return use, order
     if downsize:
@@ -673,16 +673,28 @@ def fused_viable(
     lop: LaneBlockedOp,
     order: str = "vh",
     in_bytes: int = 1,
+    int8: bool = False,
 ) -> bool:
-    """Rough VMEM-budget check for the fused kernel's block shapes."""
+    """Rough VMEM-budget check for the fused kernel's block shapes.
+
+    Uses the tap representation the kernel actually streams: the
+    CHUNKED banded H taps when available (n_ch x win_c x 128 per
+    block, ops/lanes.py) rather than the dense [WC, TC] matrix — the
+    difference decides viability for wide-lane upsize tiles."""
     Bv, Tv, Wv = vop.taps_hi.shape
     Bh, WC, TC = lop.taps_hi.shape
     inter = Tv * WC if order == "vh" else Wv * TC
+    tap_b = 1 if int8 else 2
+    if lop.ctaps_hi is not None:
+        n_ch = lop.ctaps_hi.shape[1]
+        h_tap_el = n_ch * lop.win_c * 128
+    else:
+        h_tap_el = WC * TC
     vmem = (
         2 * Wv * WC * in_bytes  # double-buffered input window
         + 4 * Wv * WC          # f32 conversion temp
-        + 2 * 2 * Tv * Wv * 2  # V taps hi/lo, double-buffered
-        + 2 * 2 * WC * TC * 2  # H taps hi/lo, double-buffered
+        + 2 * 2 * Tv * Wv * tap_b  # V taps hi/lo, double-buffered
+        + 2 * 2 * h_tap_el * tap_b  # H taps hi/lo, double-buffered
         + 4 * inter            # inter-pass f32 intermediate
         + 2 * 4 * Tv * TC      # output tiles
     )

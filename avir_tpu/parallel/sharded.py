@@ -65,6 +65,51 @@ class ShardedVOp:
     offs: np.ndarray     # int32 [n_dev, blocks] — local window starts
     taps: np.ndarray     # f32 [n_dev, blocks, tile, win]
     use_all_gather: bool
+    # INTERIOR block range [b_int0, b_int1): blocks whose windows lie
+    # fully inside the local strip on EVERY device (no halo rows), so
+    # their compute can be issued independently of — and overlapped
+    # with — the halo ppermutes (BASELINE north star: "collective
+    # permutes overlapped with interior convolution compute").  The
+    # border blocks are the prefix [0, b_int0) and suffix [b_int1, B).
+    b_int0: int = 0
+    b_int1: int = 0
+
+
+def _interior_split(
+    offs: np.ndarray,
+    valid: np.ndarray,
+    halo_lo: int,
+    strip: int,
+    win: int,
+) -> tuple[int, int]:
+    """Classify blocks as interior (window inside the local strip on
+    every device that uses them) vs border, and repair unused entries.
+
+    Mutates ``offs``: entries where ``valid`` is False (blocks with no
+    real output rows on that device; taps are all zero) borrow a valid
+    device's offset so that interior-rebased slicing stays in range.
+    Returns the contiguous interior range [b0, b1) — (0, 0) when the
+    interior is empty or non-contiguous (falls back to all-border,
+    i.e. the previous non-overlapped behavior)."""
+    n_dev, blocks = offs.shape
+    inter = np.zeros(blocks, dtype=bool)
+    for b in range(blocks):
+        vd = np.nonzero(valid[:, b])[0]
+        assert vd.size > 0  # device 0 always owns all its blocks
+        o = offs[vd, b]
+        inter[b] = bool(
+            (o >= halo_lo).all() and (o + win <= halo_lo + strip).all()
+        )
+        for d in range(n_dev):
+            if not valid[d, b]:
+                offs[d, b] = o[0]
+    if not inter.any():
+        return 0, 0
+    b0 = int(np.argmax(inter))
+    b1 = blocks - int(np.argmax(inter[::-1]))
+    if not inter[b0:b1].all():
+        return 0, 0
+    return b0, b1
 
 
 def shard_v_op(
@@ -109,6 +154,7 @@ def shard_v_op(
 
     offs = np.zeros((n_dev, blocks), dtype=np.int64)
     taps = np.zeros((n_dev, blocks, tile, win), dtype=np.float32)
+    valid = np.zeros((n_dev, blocks), dtype=bool)
     for d in range(n_dev):
         base = 0 if use_all_gather else d * strip - halo_lo
         for b in range(blocks):
@@ -121,10 +167,14 @@ def shard_v_op(
             off = int(starts[lo]) - base
             assert off >= 0
             offs[d, b] = off
+            valid[d, b] = True
             for i in range(lo, hi):
                 c0 = int(starts[i]) - base - off
                 taps[d, b, i - lo, c0 : c0 + width] = op.taps[i]
 
+    b0 = b1 = 0
+    if not use_all_gather:
+        b0, b1 = _interior_split(offs, valid, halo_lo, strip, win)
     return ShardedVOp(
         n_in=op.n_in,
         n_out=n_out,
@@ -137,6 +187,8 @@ def shard_v_op(
         offs=offs.astype(np.int32),
         taps=taps,
         use_all_gather=use_all_gather,
+        b_int0=b0,
+        b_int1=b1,
     )
 
 
@@ -158,6 +210,11 @@ def shard_v_blocked(
     n_out, width = op.n_out, op.width
     m, strip = base_sv.m, base_sv.strip
     halo_lo, halo_hi = base_sv.halo_lo, base_sv.halo_hi
+    # 32-align the low halo so interior window starts stay 32-aligned
+    # after rebasing to strip coordinates (offs - halo_lo): the extra
+    # exchanged rows carry zero taps.
+    if halo_lo > 0 and _round_up(halo_lo, 32) <= strip:
+        halo_lo = _round_up(halo_lo, 32)
     blocks = -(-m // tile)
     starts = op.starts.astype(np.int64)
 
@@ -184,6 +241,7 @@ def shard_v_blocked(
 
     offs = np.zeros((n_dev, blocks), dtype=np.int64)
     taps = np.zeros((n_dev, blocks, tile, win), dtype=np.float32)
+    valid = np.zeros((n_dev, blocks), dtype=bool)
     for d in range(n_dev):
         base = d * strip - halo_lo
         for b in range(blocks):
@@ -199,10 +257,16 @@ def shard_v_blocked(
                 off = min(off, max_off)
             assert off >= 0, (d, b, off)
             offs[d, b] = off
+            valid[d, b] = True
             for i in range(lo, hi):
                 c0 = int(starts[i]) - base - off
                 taps[d, b, i - lo, c0 : c0 + width] = op.taps[i]
 
+    b0, b1 = _interior_split(offs, valid, halo_lo, strip, win)
+    # Interior rebasing (offs - halo_lo) must keep the Pallas kernels'
+    # 32-row alignment; otherwise treat everything as border.
+    if halo_lo % 32:
+        b0 = b1 = 0
     return ShardedVOp(
         n_in=op.n_in,
         n_out=n_out,
@@ -215,6 +279,8 @@ def shard_v_blocked(
         offs=offs.astype(np.int32),
         taps=taps,
         use_all_gather=False,
+        b_int0=b0,
+        b_int1=b1,
     )
 
 
@@ -260,6 +326,191 @@ def _apply_local_blocked(
     return y.reshape(blocks * tile, r)
 
 
+def _halo_permutes(x, svop, rows_axis, fwd, bwd):
+    """Issue the two halo ppermutes (returned un-consumed so the
+    scheduler can overlap them with interior compute)."""
+    h_lo = (
+        jax.lax.ppermute(x[-svop.halo_lo :], rows_axis, fwd)
+        if svop.halo_lo > 0
+        else None
+    )
+    h_hi = (
+        jax.lax.ppermute(x[: svop.halo_hi], rows_axis, bwd)
+        if svop.halo_hi > 0
+        else None
+    )
+    return h_lo, h_hi
+
+
+def _overlapped_v(
+    x, v_offs, v_taps, svop, rows_axis, fwd, bwd, mode, apply_fn
+):
+    """Vertical pass with halo exchange overlapped with interior
+    compute (the BASELINE north-star structure: "collective permutes
+    overlapped with interior convolution compute").
+
+    The interior blocks [b_int0, b_int1) read only local strip rows, so
+    their matmuls carry no data dependency on the ppermutes; XLA's
+    scheduler can run them while the collectives are in flight.  Only
+    the border blocks (first/last few output tiles) wait for the
+    assembled ext buffer.  Results are bitwise identical to the
+    non-overlapped formulation (same taps, same windows, same op
+    order within each block)."""
+    b0, b1 = svop.b_int0, svop.b_int1
+    blocks = v_taps.shape[0]
+    if b1 <= b0:  # no interior: previous (blocking) behavior
+        h_lo, h_hi = _halo_permutes(x, svop, rows_axis, fwd, bwd)
+        parts = [p for p in (h_lo, x, h_hi) if p is not None]
+        ext = jnp.concatenate(parts, axis=0)
+        need = int(svop.offs.max()) + svop.win
+        if need > ext.shape[0]:
+            ext = jnp.pad(ext, ((0, need - ext.shape[0]), (0, 0)))
+        return apply_fn(ext, v_offs, v_taps, mode)
+
+    h_lo, h_hi = _halo_permutes(x, svop, rows_axis, fwd, bwd)
+    ys = []
+    ext = None
+    if b0 > 0 or b1 < blocks:
+        parts = [p for p in (h_lo, x, h_hi) if p is not None]
+        ext = jnp.concatenate(parts, axis=0)
+        need = int(svop.offs.max()) + svop.win
+        if need > ext.shape[0]:
+            ext = jnp.pad(ext, ((0, need - ext.shape[0]), (0, 0)))
+    if b0 > 0:
+        ys.append(apply_fn(ext, v_offs[:b0], v_taps[:b0], mode))
+    # Interior: windows rebased from ext to strip coordinates — no
+    # dependency on the collectives.
+    ys.append(
+        apply_fn(x, v_offs[b0:b1] - svop.halo_lo, v_taps[b0:b1], mode)
+    )
+    if b1 < blocks:
+        ys.append(apply_fn(ext, v_offs[b1:], v_taps[b1:], mode))
+    return jnp.concatenate(ys, axis=0) if len(ys) > 1 else ys[0]
+
+
+def _pallas_strip_fn(
+    svb: ShardedVOp,
+    lop,
+    ext_rows: int,
+    use_int8: bool,
+    modes: tuple,
+    fused_kwargs: dict,
+    qmeta: tuple,
+    new_wc: int,
+    rows_axis: str,
+    fwd,
+    bwd,
+    interpret: bool,
+):
+    """Per-device strip body for the Pallas fused-kernel route, shared
+    by the AVIR and LANCIR sharded executors.
+
+    Runs the SAME fused two-pass kernel as the single-chip hot path on
+    the local strip, with halo ppermutes issued BEFORE the interior
+    blocks' kernel call (which reads only local rows) so XLA can
+    overlap the collectives with interior compute; only the border
+    blocks' (smaller) kernel calls consume the assembled ext buffer."""
+    from ..ops.banded import BlockedBandedOp
+    from ..ops.pallas.fused_kernel import apply_fused_pallas
+
+    v_qshift, v_l1, v_qa1, v_qa0 = qmeta
+    blocks = -(-svb.m // svb.tile)
+
+    def mk_vop(offs_sub, taps_sub, n_in, n_in_pad, q1, q0):
+        th = taps_sub.astype(jnp.bfloat16)
+        th = jax.lax.optimization_barrier(th)
+        tl = (taps_sub - th.astype(jnp.float32)).astype(jnp.bfloat16)
+        return BlockedBandedOp(
+            n_in=n_in,
+            n_out=taps_sub.shape[0] * svb.tile,
+            n_in_pad=n_in_pad,
+            tile=svb.tile,
+            win=svb.win,
+            offs=offs_sub,
+            taps=taps_sub,
+            taps_hi=th,
+            taps_lo=tl,
+            taps_q1=q1,
+            taps_q0=q0,
+            q_shift=v_qshift,
+            l1_max=v_l1,
+            q_abs1=v_qa1,
+            q_abs0=v_qa0,
+        )
+
+    def fused_call(vop_local, xin):
+        return apply_fused_pallas(
+            vop_local, lop, xin, modes[0], modes[1],
+            order="vh",
+            interpret=interpret,
+            **fused_kwargs,
+        )
+
+    def build_ext(x, h_lo, h_hi):
+        parts = [p for p in (h_lo, x, h_hi) if p is not None]
+        rows_e = sum(p.shape[0] for p in parts)
+        if ext_rows > rows_e:
+            parts.append(
+                jnp.zeros((ext_rows - rows_e, x.shape[1]), x.dtype)
+            )
+        return jnp.concatenate(parts, axis=0)
+
+    def pallas_fn(x, v_offs, v_taps, *v_q):
+        # x: RAW [strip, W*C] local rows.
+        v_offs, v_taps = v_offs[0], v_taps[0]
+        q1 = v_q[0][0] if use_int8 else None
+        q0 = v_q[1][0] if use_int8 else None
+        strip = x.shape[0]
+        # Pre-pad lanes once so none of the kernel calls re-pads.
+        if x.shape[1] < lop.lanes_pad:
+            x = jnp.pad(x, ((0, 0), (0, lop.lanes_pad - x.shape[1])))
+        b0, b1 = svb.b_int0, svb.b_int1
+        h_lo, h_hi = _halo_permutes(x, svb, rows_axis, fwd, bwd)
+        if b1 <= b0:  # no interior blocks: blocking fallback
+            ext = build_ext(x, h_lo, h_hi)
+            vop_local = mk_vop(
+                v_offs, v_taps, ext.shape[0], ext_rows, q1, q0
+            )
+            return fused_call(vop_local, ext)[: svb.m, :new_wc]
+
+        ext = None
+        if b0 > 0 or b1 < blocks:
+            ext = build_ext(x, h_lo, h_hi)
+        outs = []
+        if b0 > 0:
+            v_lo = mk_vop(
+                v_offs[:b0], v_taps[:b0], ext.shape[0], ext_rows,
+                None if q1 is None else q1[:b0],
+                None if q0 is None else q0[:b0],
+            )
+            outs.append(
+                fused_call(v_lo, ext)[: b0 * svb.tile, :new_wc]
+            )
+        # Interior: windows rebased to strip coordinates — no data
+        # dependency on the ppermutes.
+        v_int = mk_vop(
+            v_offs[b0:b1] - svb.halo_lo, v_taps[b0:b1], strip, strip,
+            None if q1 is None else q1[b0:b1],
+            None if q0 is None else q0[b0:b1],
+        )
+        outs.append(
+            fused_call(v_int, x)[: (b1 - b0) * svb.tile, :new_wc]
+        )
+        if b1 < blocks:
+            v_hi = mk_vop(
+                v_offs[b1:], v_taps[b1:], ext.shape[0], ext_rows,
+                None if q1 is None else q1[b1:],
+                None if q0 is None else q0[b1:],
+            )
+            outs.append(fused_call(v_hi, ext)[:, :new_wc])
+        out2 = (
+            jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+        )
+        return out2[: svb.m]
+
+    return pallas_fn
+
+
 def pad_rows(src: np.ndarray, n_dev: int) -> np.ndarray:
     """Zero-pad image rows (axis -2 of [..., H, WC]) to a multiple of the
     row-mesh size."""
@@ -289,6 +540,7 @@ def make_sharded_avir_executor(
     tile: int = 64,
     engine: str = "auto",
     interpret: bool = False,
+    pallas_tile: int | None = None,
 ) -> Callable[[jax.Array], jax.Array]:
     """Compile a ResizePlan into a sharded executor over ``mesh``.
 
@@ -348,7 +600,9 @@ def make_sharded_avir_executor(
         from ..ops.lanes import lane_block_banded
         from ..ops.pallas.fused_kernel import apply_fused_pallas
 
-        svb = shard_v_blocked(plan.v.op, n_dev, padded_h)
+        svb = shard_v_blocked(
+            plan.v.op, n_dev, padded_h, tile=pallas_tile
+        )
         lop = lane_block_banded(plan.h.op, c)
         offs_c = jnp.asarray(svb.offs)
         taps_c = jnp.asarray(svb.taps)
@@ -399,59 +653,25 @@ def make_sharded_avir_executor(
             if use_int8:
                 q_consts = (jnp.asarray(q1), jnp.asarray(q0))
 
-        def pallas_fn(x, v_offs, v_taps, *v_q):
-            # x: RAW [strip, W*C] local rows.
-            v_offs, v_taps = v_offs[0], v_taps[0]
-            parts = []
-            if svb.halo_lo > 0:
-                parts.append(
-                    jax.lax.ppermute(x[-svb.halo_lo :], rows_axis, fwd)
-                )
-            parts.append(x)
-            if svb.halo_hi > 0:
-                parts.append(
-                    jax.lax.ppermute(x[: svb.halo_hi], rows_axis, bwd)
-                )
-            ext = jnp.concatenate(parts, axis=0)
-            th = v_taps.astype(jnp.bfloat16)
-            th = jax.lax.optimization_barrier(th)
-            tl = (v_taps - th.astype(jnp.float32)).astype(jnp.bfloat16)
-            from ..ops.banded import BlockedBandedOp
-
-            vop_local = BlockedBandedOp(
-                n_in=ext.shape[0],
-                n_out=svb.m,
-                n_in_pad=ext_rows,
-                tile=svb.tile,
-                win=svb.win,
-                offs=v_offs,
-                taps=v_taps,
-                taps_hi=th,
-                taps_lo=tl,
-                taps_q1=v_q[0][0] if use_int8 else None,
-                taps_q0=v_q[1][0] if use_int8 else None,
-                q_shift=v_qshift,
-                l1_max=v_l1,
-                q_abs1=v_qa1,
-                q_abs0=v_qa0,
-            )
-            mv, mh = (
-                ("int8", "int8") if use_int8
-                else (mode_first, mode_second)
-            )
-            out2 = apply_fused_pallas(
-                vop_local, lop, ext, mv, mh,
-                out_dtype=(out_dt if not plan.is_out_float else jnp.float32),
+        pallas_fn = _pallas_strip_fn(
+            svb, lop, ext_rows, use_int8,
+            ("int8", "int8") if use_int8 else (
+                mode_first, mode_second
+            ),
+            dict(
+                out_dtype=(
+                    out_dt if not plan.is_out_float else jnp.float32
+                ),
                 out_max=plan.out_type_max,
                 trunc_bits=trunc_bits,
                 gamma=plan.use_srgb_gamma,
                 alpha_index=plan.alpha_index,
                 in_gamma_mult=plan.in_gamma_mult,
                 out_gamma_mult=plan.out_gamma_mult,
-                order="vh",
-                interpret=interpret,
-            )
-            return out2[: svb.m, : new_w * c]
+            ),
+            (v_qshift, v_l1, v_qa1, v_qa0),
+            new_w * c, rows_axis, fwd, bwd, interpret,
+        )
 
     else:
         offs_c = jnp.asarray(svop.offs)
@@ -480,28 +700,18 @@ def make_sharded_avir_executor(
             .reshape(strip, new_w * c)
         )
 
-        # --- assemble V-pass input: halos or full gather --------------
+        # --- V pass: halos overlapped with interior compute -----------
         if svop.use_all_gather:
             ext = jax.lax.all_gather(x, rows_axis, tiled=True)
+            need = int(svop.offs.max()) + svop.win
+            if need > ext.shape[0]:
+                ext = jnp.pad(ext, ((0, need - ext.shape[0]), (0, 0)))
+            y = _apply_local_blocked(ext, v_offs, v_taps, mode_second)
         else:
-            parts = []
-            if svop.halo_lo > 0:
-                parts.append(
-                    jax.lax.ppermute(x[-svop.halo_lo :], rows_axis, fwd)
-                )
-            parts.append(x)
-            if svop.halo_hi > 0:
-                parts.append(
-                    jax.lax.ppermute(x[: svop.halo_hi], rows_axis, bwd)
-                )
-            ext = jnp.concatenate(parts, axis=0)
-
-        need = int(svop.offs.max()) + svop.win
-        if need > ext.shape[0]:
-            ext = jnp.pad(ext, ((0, need - ext.shape[0]), (0, 0)))
-
-        # --- V pass: local blocked matmul -----------------------------
-        y = _apply_local_blocked(ext, v_offs, v_taps, mode_second)
+            y = _overlapped_v(
+                x, v_offs, v_taps, svop, rows_axis, fwd, bwd,
+                mode_second, _apply_local_blocked,
+            )
         y = y[: svop.m]  # [m, new_w*c]
 
         # --- output conditioning --------------------------------------
@@ -555,9 +765,21 @@ def make_sharded_lancir_executor(
     batch_axis: Optional[str] = None,
     precision: str = "auto",
     tile: int = 64,
+    engine: str = "auto",
+    interpret: bool = False,
+    pallas_tile: int | None = None,
 ) -> Callable[[jax.Array], jax.Array]:
     """Sharded executor for a LancirPlan (same row-strip + halo scheme
-    as the AVIR maker; round-half-even output stage)."""
+    as the AVIR maker; round-half-even output stage).
+
+    On a TPU backend (``engine='auto'``/'pallas'), integer-output plans
+    run the SAME fused Pallas strip kernel as the single-chip LANCIR
+    hot path — including the MXU int8 fixed-point mode for u8 pipelines
+    — so per-device work matches the fast path the reference designed
+    LANCIR for (/root/reference/README.md:369-372, lancir.h:386-713);
+    only the halo collectives are added (overlapped with interior
+    compute).  Float outputs and ``engine='xla'`` take the portable
+    gather+matmul route."""
     from ..models.runtime import resolve_modes
 
     n_dev = mesh.shape[rows_axis]
@@ -576,10 +798,79 @@ def make_sharded_lancir_executor(
         else (jnp.uint8 if plan.clamp == 255.0 else jnp.uint16)
     )
 
-    offs_c = jnp.asarray(svop.offs)
-    taps_c = jnp.asarray(svop.taps)
     fwd = [(i, i + 1) for i in range(n_dev - 1)]
     bwd = [(i + 1, i) for i in range(n_dev - 1)]
+
+    pallas_strips = (
+        _use_pallas_strips(engine, interpret)
+        and precision != "exact"
+        and not plan.is_out_float
+        and not svop.use_all_gather
+    )
+    if pallas_strips:
+        from ..ops.lanes import lane_block_banded
+        from ..ops.pallas.fused_kernel import int8_feasible
+
+        svb = shard_v_blocked(
+            plan.v, n_dev, padded_h, tile=pallas_tile
+        )
+        lop = lane_block_banded(plan.h, c)
+        offs_c = jnp.asarray(svb.offs)
+        taps_c = jnp.asarray(svb.taps)
+        ext_rows = max(
+            int(svb.offs.max()) + svb.win,
+            svb.halo_lo + svb.strip + svb.halo_hi,
+        )
+
+        use_int8 = (
+            precision == "auto"
+            and plan.in_exact_bf16
+            and plan.clamp == 255.0
+            and lop.taps_q1 is not None
+        )
+        q_consts = ()
+        v_qshift = 0
+        v_l1 = 0.0
+        v_qa1 = v_qa0 = 0
+        if use_int8:
+            import types
+
+            from ..ops.intq import (
+                first_pass_overflow_safe,
+                quantize_limbs,
+            )
+
+            q1, q0, v_qshift = quantize_limbs(svb.taps)
+            v_l1 = float(np.abs(svb.taps).sum(axis=3).max())
+            v_qa1 = int(np.abs(q1.astype(np.int64)).sum(axis=3).max())
+            v_qa0 = int(np.abs(q0.astype(np.int64)).sum(axis=3).max())
+            probe = types.SimpleNamespace(
+                taps_q1=q1, q_shift=v_qshift, l1_max=v_l1,
+                q_abs1=v_qa1, q_abs0=v_qa0,
+            )
+            use_int8 = first_pass_overflow_safe(
+                q1, q0, contract_axis=3
+            ) and int8_feasible(probe, lop, "vh", False)
+            if use_int8:
+                q_consts = (jnp.asarray(q1), jnp.asarray(q0))
+
+        pallas_fn = _pallas_strip_fn(
+            svb, lop, ext_rows, use_int8,
+            ("int8", "int8") if use_int8 else (
+                mode_first, mode_second
+            ),
+            dict(
+                out_dtype=out_dt,
+                out_max=plan.clamp,
+                scale=plan.out_mul,
+                round_mode="even",
+            ),
+            (v_qshift, v_l1, v_qa1, v_qa0),
+            new_w * c, rows_axis, fwd, bwd, interpret,
+        )
+    else:
+        offs_c = jnp.asarray(svop.offs)
+        taps_c = jnp.asarray(svop.taps)
 
     def shard_fn(x, v_offs, v_taps):
         v_offs = v_offs[0]
@@ -597,22 +888,15 @@ def make_sharded_lancir_executor(
         )
         if svop.use_all_gather:
             ext = jax.lax.all_gather(x, rows_axis, tiled=True)
+            need = int(svop.offs.max()) + svop.win
+            if need > ext.shape[0]:
+                ext = jnp.pad(ext, ((0, need - ext.shape[0]), (0, 0)))
+            y = _apply_local_blocked(ext, v_offs, v_taps, mode_second)
         else:
-            parts = []
-            if svop.halo_lo > 0:
-                parts.append(
-                    jax.lax.ppermute(x[-svop.halo_lo :], rows_axis, fwd)
-                )
-            parts.append(x)
-            if svop.halo_hi > 0:
-                parts.append(
-                    jax.lax.ppermute(x[: svop.halo_hi], rows_axis, bwd)
-                )
-            ext = jnp.concatenate(parts, axis=0)
-        need = int(svop.offs.max()) + svop.win
-        if need > ext.shape[0]:
-            ext = jnp.pad(ext, ((0, need - ext.shape[0]), (0, 0)))
-        y = _apply_local_blocked(ext, v_offs, v_taps, mode_second)
+            y = _overlapped_v(
+                x, v_offs, v_taps, svop, rows_axis, fwd, bwd,
+                mode_second, _apply_local_blocked,
+            )
         y = y[: svop.m]
         if plan.out_mul != 1.0:
             y = y * jnp.float32(plan.out_mul)
@@ -621,29 +905,31 @@ def make_sharded_lancir_executor(
         y = jnp.clip(jnp.round(y), 0.0, plan.clamp)
         return y.astype(out_dt)
 
+    body = pallas_fn if pallas_strips else shard_fn
+    consts = (offs_c, taps_c) + (q_consts if pallas_strips else ())
     const_spec = P(rows_axis)
     if batch_axis is None:
         inner = jax.shard_map(
-            shard_fn,
+            body,
             mesh=mesh,
-            in_specs=(P(rows_axis, None), const_spec, const_spec),
+            in_specs=(P(rows_axis, None),)
+            + (const_spec,) * len(consts),
             out_specs=P(rows_axis, None),
+            check_vma=False,
         )
     else:
         inner = jax.shard_map(
-            jax.vmap(shard_fn, in_axes=(0, None, None)),
+            jax.vmap(body, in_axes=(0,) + (None,) * len(consts)),
             mesh=mesh,
-            in_specs=(
-                P(batch_axis, rows_axis, None),
-                const_spec,
-                const_spec,
-            ),
+            in_specs=(P(batch_axis, rows_axis, None),)
+            + (const_spec,) * len(consts),
             out_specs=P(batch_axis, rows_axis, None),
+            check_vma=False,
         )
 
     @jax.jit
     def run(src: jax.Array) -> jax.Array:
-        out = inner(src, offs_c, taps_c)
+        out = inner(src, *consts)
         return out[..., :new_h, :]
 
     return run

@@ -169,3 +169,77 @@ def test_sharded_pallas_strips_gamma_alpha():
     rz = avir_tpu.ImageResizer()
     single = rz.resize(src, 32, 64, use_srgb_gamma=True, alpha_index=3)
     assert np.abs(out.astype(int) - single.astype(int)).max() <= 1
+
+
+def test_overlapped_interior_split_xla():
+    """The overlapped-halo structure (interior blocks computed
+    independently of the ppermutes) is exercised and matches the
+    single-chip result.  512x1024 -> 256x512 on 2 devices gives
+    interior blocks [1, 3) of 4 on the XLA route."""
+    src = xorshift128_fill((1024, 512, 3), np.uint8, 407)
+    plan = build_resize_plan(512, 1024, 256, 512, 3, np.uint8, np.uint8)
+    so = shard_v_op(plan.v.op, 2, 1024)
+    assert so.b_int1 > so.b_int0 > 0, (so.b_int0, so.b_int1)
+    mesh = row_mesh(2)
+    fn = make_sharded_avir_executor(
+        plan, mesh, rows_axis="sp", engine="xla"
+    )
+    out = np.asarray(fn(src.reshape(1024, -1))).reshape(512, 256, 3)
+    single = avir_tpu.resize(src, 256, 512)
+    assert np.abs(out.astype(int) - single.astype(int)).max() <= 1
+
+
+def test_overlapped_interior_split_pallas():
+    """Interior/border split on the fused-Pallas strip route (three
+    kernel calls, permutes overlapped) is bitwise-stable vs the
+    single-chip result."""
+    from avir_tpu.parallel.sharded import shard_v_blocked
+
+    src = xorshift128_fill((1024, 128, 3), np.uint8, 409)
+    plan = build_resize_plan(128, 1024, 64, 512, 3, np.uint8, np.uint8)
+    sb = shard_v_blocked(plan.v.op, 2, 1024, tile=64)
+    assert sb.b_int1 > sb.b_int0 > 0, (sb.b_int0, sb.b_int1)
+    mesh = row_mesh(2)
+    fn = make_sharded_avir_executor(
+        plan, mesh, rows_axis="sp", engine="pallas", interpret=True,
+        pallas_tile=64,
+    )
+    out = np.asarray(fn(src.reshape(1024, -1))).reshape(512, 64, 3)
+    single = avir_tpu.resize(src, 64, 512)
+    assert np.abs(out.astype(int) - single.astype(int)).max() <= 1
+
+
+def test_sharded_lancir_pallas_strips():
+    """LANCIR through the fused-Pallas int8 strip route (VERDICT r1
+    item 4): per-device work identical to the single-chip LANCIR hot
+    path, <= 1 LSB vs single-chip."""
+    from avir_tpu.parallel.sharded import make_sharded_lancir_executor
+    from avir_tpu.plan.lancir_plan import build_lancir_plan
+
+    src = xorshift128_fill((256, 96, 3), np.uint8, 411)
+    plan = build_lancir_plan(96, 256, 64, 160, 3, np.uint8, np.uint8)
+    mesh = row_mesh()
+    fn = make_sharded_lancir_executor(
+        plan, mesh, rows_axis="sp", engine="pallas", interpret=True
+    )
+    out = np.asarray(fn(src.reshape(256, -1))).reshape(160, 64, 3)
+    single = avir_tpu.lancir_resize(src, 64, 160)
+    assert np.abs(out.astype(int) - single.astype(int)).max() <= 1
+
+
+def test_sharded_lancir_pallas_strips_u16():
+    """LANCIR pallas strips with u16 output (split-bf16 modes +
+    round-half-even epilogue)."""
+    from avir_tpu.parallel.sharded import make_sharded_lancir_executor
+    from avir_tpu.plan.lancir_plan import build_lancir_plan
+
+    src = xorshift128_fill((128, 64, 2), np.uint16, 413)
+    plan = build_lancir_plan(64, 128, 48, 96, 2, np.uint16, np.uint16)
+    mesh = row_mesh(4)
+    fn = make_sharded_lancir_executor(
+        plan, mesh, rows_axis="sp", engine="pallas", interpret=True
+    )
+    out = np.asarray(fn(src.reshape(128, -1))).reshape(96, 48, 2)
+    lz = avir_tpu.LancIR()
+    single = lz.resize(src, 48, 96)
+    assert np.abs(out.astype(int) - single.astype(int)).max() <= 1
