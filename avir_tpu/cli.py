@@ -133,7 +133,10 @@ def run_one(src: np.ndarray, new_w: int, new_h: int, args) -> np.ndarray:
         new_h,
         out_dtype=out_dtype,
         use_srgb_gamma=args.gamma,
-        alpha_index=(ch - 1) if ch in (2, 4) and args.gamma else -1,
+        # Gamma bypasses the alpha channel only for 4-channel images
+        # with alpha first or last (avir.h:2520-2527); 2-channel
+        # grey+alpha has no bypass in the reference either.
+        alpha_index=3 if ch == 4 and args.gamma else -1,
         dither="errdiff" if args.dither else "default",
     )
     if args.zero_flush > 0 and ch == 4:

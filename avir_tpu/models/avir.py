@@ -238,9 +238,23 @@ class ImageResizer:
         probe = batch[0]
         import os
 
-        key = ("batch", n, sw, sh, new_w, new_h, ch, batch.dtype.str,
-               tuple(sorted(kwargs.items())),
-               os.environ.get("AVIR_TPU_GAMMA_ROUTE", "auto"))
+        # Normalized scalar key (mirrors resize()): dtype spellings
+        # collapse via np.dtype().str and unhashable kwargs can't leak
+        # in (each field is read out explicitly).
+        out_dtype = np.dtype(kwargs.get("out_dtype") or batch.dtype)
+        key = (
+            "batch", n, sw, sh, new_w, new_h, ch, batch.dtype.str,
+            out_dtype.str,
+            kwargs.get("k", 0.0), kwargs.get("ox", 0.0),
+            kwargs.get("oy", 0.0),
+            kwargs.get("use_srgb_gamma", False),
+            kwargs.get("alpha_index", -1),
+            kwargs.get("dither", "default"),
+            kwargs.get("build_mode", -1),
+            kwargs.get("precision", "auto"),
+            kwargs.get("engine", "auto"),
+            os.environ.get("AVIR_TPU_GAMMA_ROUTE", "auto"),
+        )
 
         def build():
             single = self._single_executor(probe, new_w, new_h, **kwargs)

@@ -74,6 +74,13 @@ def pick_tile(op: BandedOp, bytes_per_el: int = 2) -> int:
     if n_out <= 64:
         return _round_up(max(n_out, 8), 8)
     k = (op.starts[-1] - op.starts[0]) / max(n_out - 1, 1)
+    if k < 1.0 and n_out >= 512:
+        # Upsizing: measured on v5e (tools/probe_upsize.py) — the
+        # kernel is DMA-bound on its small strided windows/tiles, and
+        # tile=256 amortizes the per-cell fetch best (4K->8K 1.387 ms
+        # vs 1.47 at 128 / 1.60 at 192, with the wide lane tile of
+        # ops/lanes.py:pick_lane_tile).
+        return 256
     best, best_cost = 64, None
     for tile in (64, 128, 256, 512):
         win = _round_up(int(math.ceil(tile * k)) + op.width + 8, 128)

@@ -88,18 +88,43 @@ class LaneBlockedOp:
         return self.offs_l.shape[0]
 
 
+def pick_lane_tile(op: BandedOp, c: int) -> int:
+    """Default output-pixels-per-block for the lane form.
+
+    Downsizing keeps the small default (window rows are already long —
+    win_l ~ tile*c*k).  UPSIZING (k < 1) widens the tile until the
+    output block reaches ~2304 lanes: measured on v5e
+    (tools/probe_updma.py), strided u8 DMA saturates (>700 GB/s) only
+    at >= ~2304-byte rows, and the default 384-lane tiles run the
+    whole upsize kernel DMA-bound at ~150-315 GB/s; the wide tile also
+    amortizes the filter overhang across 6x more output lanes
+    (tools/probe_upsize.py: 4K->8K 1.619 -> 1.387 ms).  The reference's
+    counterpart lever is doResize2's stride-2 tap walk
+    (/root/reference/avir.h:4114-4331) — same goal, bandwidth-shaped
+    for TPU."""
+    step = 128 // int(np.gcd(c, 128))
+    base = step * max(1, -(-64 // step))
+    n_out = op.n_out
+    if n_out < 2:
+        return base
+    k = (op.starts[-1] - op.starts[0]) / (n_out - 1)
+    if k >= 1.0 or n_out * c < 4096:
+        return base
+    return step * max(1, -(-2304 // (step * c)))
+
+
 def lane_block_banded(
     op: BandedOp, c: int, tile: int | None = None
 ) -> LaneBlockedOp:
     """Build the lane-side blocked form.
 
     Window starts are 128-LANE aligned (up to 127 lanes of zero-tap
-    slack per block).  The default tile is the smallest multiple of
-    128/gcd(c,128) rows >= 64, so each output block spans a whole
-    number of 128-lane tiles."""
+    slack per block).  The default tile comes from ``pick_lane_tile``
+    (a multiple of 128/gcd(c,128) rows, so each output block spans a
+    whole number of 128-lane tiles)."""
     step = 128 // int(np.gcd(c, 128))
     if tile is None:
-        tile = step * max(1, -(-64 // step))
+        tile = pick_lane_tile(op, c)
     n_out, width = op.n_out, op.width
     n_blocks = -(-n_out // tile)
     starts = op.starts.astype(np.int64)

@@ -70,6 +70,39 @@ def main() -> int:
 
     ms, _ = device_ms(fn, d, n=10)
     mpix_s = SRC_W * SRC_H / 1e6 / (ms / 1e3)
+
+    # Roofline report (stderr; stdout keeps the single-JSON contract):
+    # HBM bytes actually moved by the fused kernel — the overlapping
+    # input windows plus the output — against the measured streaming
+    # ceiling (740 GB/s, tools/bw_probe.py; docs/perf_analysis.md).
+    from avir_tpu.ops.banded import block_banded
+    from avir_tpu.ops.lanes import lane_block_banded
+
+    vop = block_banded(plan.v.op)
+    lop = lane_block_banded(plan.h.op, 3)
+    bv, tv, wv = vop.taps_hi.shape
+    bh = lop.taps_hi.shape[0]
+    bytes_moved = bv * bh * wv * lop.win_l + NEW_W * NEW_H * 3
+    gbs = bytes_moved / 1e9 / (ms / 1e3)
+    ceiling = 740.0  # measured contiguous-stream GB/s on this chip
+    print(
+        json.dumps(
+            {
+                "device_ms": round(ms, 3),
+                "hbm_bytes_moved": bytes_moved,
+                "achieved_GBps": round(gbs, 1),
+                "streaming_ceiling_GBps": ceiling,
+                "roofline_fraction": round(gbs / ceiling, 3),
+                "note": (
+                    "fraction < 1 here means compute-bound, not waste:"
+                    " the kernel is MXU-bound at these shapes"
+                    " (docs/perf_analysis.md)"
+                ),
+                "psnr_vs_f64_oracle_dB": round(psnr, 1),
+            }
+        ),
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {

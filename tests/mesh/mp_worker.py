@@ -103,6 +103,43 @@ def main() -> int:
             checked2 += got[j].shape[0]
     assert checked2 == nh2, checked2  # one batch element per process
     print(f"proc {pid}: batch dp x sp verified", flush=True)
+
+    # Scenario 3 — BASELINE.json config 5 at representative scale:
+    # 4Kx4K -> 1Kx1K RGB batch downsize, batch across processes (DCN
+    # analog), row strips across the 4 local devices.  Parity is
+    # asserted against the float64 host oracle on every addressable
+    # shard (full coverage across the 2 processes).
+    sh3, sw3, nh3, nw3 = 4096, 4096, 1024, 1024
+    batch3 = np.stack(
+        [
+            xorshift128_fill((sh3, sw3, c), np.uint8, 900 + i)
+            for i in range(nproc)
+        ]
+    )
+    plan3 = build_resize_plan(sw3, sh3, nw3, nh3, c, np.uint8, np.uint8)
+    fn3 = make_sharded_avir_executor(
+        plan3, mesh2, rows_axis="sp", batch_axis="dp"
+    )
+    flat3 = batch3.reshape(nproc, sh3, sw3 * c)
+    garr3 = jax.make_array_from_callback(
+        flat3.shape, sh2d, lambda idx: flat3[idx]
+    )
+    out3 = fn3(garr3)
+    jax.block_until_ready(out3)
+    checked3 = 0
+    for shard in out3.addressable_shards:
+        b, rows = shard.index[0], shard.index[1]
+        got = np.asarray(shard.data).astype(np.int64)
+        for j, bi in enumerate(range(*b.indices(nproc))):
+            oracle3 = execute_plan_numpy(plan3, batch3[bi]).reshape(
+                nh3, nw3 * c
+            )
+            ref = oracle3[rows].astype(np.int64)
+            maxdiff = np.abs(got[j] - ref).max() if got[j].size else 0
+            assert maxdiff <= 1, (pid, bi, rows, maxdiff)
+            checked3 += got[j].shape[0]
+    assert checked3 == nh3, checked3
+    print(f"proc {pid}: 4K batch downsize verified", flush=True)
     return 0
 
 

@@ -58,3 +58,4 @@ def test_two_process_mesh():
         )
         assert f"proc {pid}:" in out, out[-2000:]
         assert "batch dp x sp verified" in out, out[-2000:]
+        assert "4K batch downsize verified" in out, out[-2000:]

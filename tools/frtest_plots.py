@@ -48,7 +48,7 @@ def _style(ax, title, ylabel):
     ax.tick_params(colors=INK2, labelsize=8)
 
 
-def _plot(out, title, ylabel, fa, y_avir, fl, y_lanc, label_at=0.25):
+def _plot(out, title, ylabel, fa, y_avir, fl, y_lanc):
     import matplotlib
 
     matplotlib.use("Agg")
@@ -59,9 +59,14 @@ def _plot(out, title, ylabel, fa, y_avir, fl, y_lanc, label_at=0.25):
     _style(ax, title, ylabel)
     ax.plot(fa, y_avir, color=C_AVIR, linewidth=2.0, label="AVIR (Def)")
     ax.plot(fl, y_lanc, color=C_LANC, linewidth=2.0, label="Lanczos-3")
-    # Direct labels near a mid-band point plus a legend.
-    ia = np.searchsorted(fa, label_at)
-    il = np.searchsorted(fl, label_at)
+    # Direct labels at the geometric midpoint of each table's span
+    # (a fixed frequency would sit at the axis edge for the
+    # downsampling sweeps); clamp keeps short tables in range.
+    def _mid_idx(f):
+        mid = float(np.sqrt(f[0] * f[-1]))
+        return min(np.searchsorted(f, mid), len(f) - 1)
+
+    ia, il = _mid_idx(fa), _mid_idx(fl)
     ax.annotate("AVIR", (fa[ia], y_avir[ia]), textcoords="offset points",
                 xytext=(6, 8), color=C_AVIR, fontsize=9, fontweight="bold")
     ax.annotate("Lanczos-3", (fl[il], y_lanc[il]), textcoords="offset points",

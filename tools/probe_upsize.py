@@ -210,8 +210,8 @@ def main():
         from avir_tpu.ops.pallas.fused_kernel import fused_viable
 
         for tv, th in (
-            (256, 384), (64, 768), (128, 768), (256, 768),
-            (128, 1152), (128, 1536), (256, 1536),
+            (192, 768), (256, 768), (384, 768), (192, 896),
+            (448, 768), (192, 1152),
         ):
             try:
                 vop2 = block_banded(plan.v.op, tile=tv)
