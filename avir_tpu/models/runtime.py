@@ -34,6 +34,19 @@ from ..plan.lancir_plan import LancirPlan
 from ..plan.plan import ResizePlan
 
 
+def _narrow_lop(h_op, lop, c: int):
+    """Rebuild the lane-blocked H operator at the narrow tile when the
+    route ends up UNFUSED: apply_lanes_pallas streams the dense
+    [win_l, tile*c] bf16 tap blocks, which at the wide upsize tile
+    (ops/lanes.py:pick_lane_tile) exceed the 16 MB scoped VMEM."""
+    from ..ops.lanes import lane_block_banded, pick_lane_tile
+
+    base = pick_lane_tile(h_op, c, wide=False)
+    if lop.tile == base:
+        return lop
+    return lane_block_banded(h_op, c, tile=base)
+
+
 def _use_pallas(engine: str) -> bool:
     """Pallas kernels need a real TPU backend (Mosaic); XLA otherwise."""
     if engine == "xla":
@@ -219,6 +232,8 @@ def make_avir_executor(
         )
         if not fused and mode1 == "int8":
             mode1, mode2 = resolve_modes(precision, in_exact_bf16)
+        if not fused:
+            lop = _narrow_lop(plan.h.op, lop, c)
     mv, mh = (mode1, mode2) if forder == "vh" else (mode2, mode1)
 
     # Gamma-route selection for the int8 fused path.  Three
@@ -438,6 +453,8 @@ def make_lancir_executor(
         )
         if not fused and mode1 == "int8":
             mode1, mode2 = resolve_modes(precision, in_exact_bf16)
+        if not fused:
+            lop = _narrow_lop(plan.h, lop, c)
     mv, mh = (mode1, mode2) if forder == "vh" else (mode2, mode1)
 
     @jax.jit

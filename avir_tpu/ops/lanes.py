@@ -88,7 +88,7 @@ class LaneBlockedOp:
         return self.offs_l.shape[0]
 
 
-def pick_lane_tile(op: BandedOp, c: int) -> int:
+def pick_lane_tile(op: BandedOp, c: int, wide: bool = True) -> int:
     """Default output-pixels-per-block for the lane form.
 
     Downsizing keeps the small default (window rows are already long —
@@ -105,7 +105,11 @@ def pick_lane_tile(op: BandedOp, c: int) -> int:
     step = 128 // int(np.gcd(c, 128))
     base = step * max(1, -(-64 // step))
     n_out = op.n_out
-    if n_out < 2:
+    # ``wide=False``: the caller streams the DENSE [win_l, tile*c] tap
+    # blocks (the unfused lanes kernel, ops/pallas/lanes_kernel.py),
+    # whose bf16 hi/lo pair at the wide tile exceeds the 16 MB scoped
+    # VMEM; only the fused kernel's chunked taps afford the wide form.
+    if not wide or n_out < 2:
         return base
     k = (op.starts[-1] - op.starts[0]) / (n_out - 1)
     if k >= 1.0 or n_out * c < 4096:
