@@ -19,31 +19,37 @@ from ..plan.plan import build_resize_plan
 from .runtime import make_avir_executor
 
 
-def _host_executor(plan, sh, sw, ch, dither):
+def _host_executor(plan, sh, sw, ch, dither, rnd_seed=0):
     """Float64 host-oracle executor (the public precision="f64" /
     engine="host" route): NumPy double-precision compute end to end,
     the reference's fptype=double mode (avir.h:4569-4592).  Error
-    diffusion runs through the native serial scan when available.
+    diffusion runs through the native serial scan when available;
+    callable ``dither`` is the custom-ditherer slot (see
+    ImageResizer.resize).
 
     Takes the [H, W, C] array DIRECTLY (possibly a strided view of a
     larger buffer — the reference's SrcScanlineSize contract,
     avir.h:4680-4692) and never copies the input."""
     from .host_reference import execute_plan_numpy
 
+    custom = callable(dither)
     errdiff = dither in ("errdiff", "errdiff-device")
 
     def run(src3):
-        if not errdiff or plan.is_out_float:
+        if (not errdiff and not custom) or plan.is_out_float:
             return execute_plan_numpy(src=src3, plan=plan)
-        from .. import native
-
         pre = execute_plan_numpy(plan, src3, return_predither=True)
         out_bits = 8 if plan.out_type_max == 255.0 else 16
         trunc_bits = out_bits - plan.res_bit_depth
+        out_dt = np.uint8 if out_bits == 8 else np.uint16
+        if custom:
+            return np.asarray(
+                dither(pre, trunc_bits, plan.out_type_max, rnd_seed)
+            ).astype(out_dt)
+        from .. import native
+
         out = native.errdiff_dither(pre, trunc_bits, plan.out_type_max)
-        return out.astype(
-            np.uint8 if out_bits == 8 else np.uint16
-        )
+        return out.astype(out_dt)
 
     run.host_3d = True  # driver passes [H, W, C] without flattening
     return run
@@ -103,13 +109,19 @@ class ImageResizer:
         with centering; <0 = |k| without centering (avir.h:4709-4736).
         ``ox``/``oy``: sub-pixel shift in source pixels.
         ``dither``: "default" (round+clamp), "errdiff" (error
-        diffusion, device pipeline + native host scan) or
+        diffusion, device pipeline + native host scan),
         "errdiff-device" (fully on-device lax.scan version; slow for
         large images — the recurrence is serial, as in the reference's
-        single-threaded dither stage, avir.h:5047-5068).
+        single-threaded dither stage, avir.h:5047-5068), or a CUSTOM
+        CALLABLE ``fn(img, trunc_bits, out_max, rnd_seed) -> array``
+        — the extension slot the reference exposes as the fpclass
+        ditherer template parameter (avir.h:4569-4592): ``img`` is the
+        float64 [new_h, new_w, C] image after gamma-out, and the
+        callable returns the quantized image (any dtype castable to
+        the output dtype).
         ``rnd_seed`` mirrors CImageResizerVars.RndSeed
-        (avir.h:2533-2535): a hook for custom ditherers; like the
-        reference's shipped ditherers, the built-in ones are
+        (avir.h:2533-2535), passed through to custom ditherers; like
+        the reference's shipped ditherers, the built-in ones are
         deterministic and ignore it.
         ``precision``: "auto" / "exact" / "fast" device tiers (see
         models/runtime.py), or "f64" — true double-precision compute on
@@ -119,7 +131,6 @@ class ImageResizer:
         "xla" device engines, or "host" (implied by precision="f64").
         Returns a NumPy array in the output dtype.
         """
-        del rnd_seed
         if precision == "f64":
             engine = "host"
         src = np.asarray(src)
@@ -139,10 +150,14 @@ class ImageResizer:
 
         import os
 
+        custom_dither = callable(dither)
         key = (
             sw, sh, new_w, new_h, ch, src.dtype.str, out_dtype.str,
-            k, ox, oy, use_srgb_gamma, alpha_index, dither, build_mode,
-            precision, engine,
+            k, ox, oy, use_srgb_gamma, alpha_index,
+            # custom ditherers cache per callable identity
+            id(dither) if custom_dither else dither,
+            rnd_seed if custom_dither else 0,
+            build_mode, precision, engine,
             # routing env knob participates in executor identity
             os.environ.get("AVIR_TPU_GAMMA_ROUTE", "auto"),
         )
@@ -167,22 +182,38 @@ class ImageResizer:
             else:
                 plan = build_resize_plan(**plan_kwargs)
             if engine == "host":
-                return _host_executor(plan, sh, sw, ch, dither)
+                return _host_executor(
+                    plan, sh, sw, ch, dither, rnd_seed
+                )
+            use_custom = custom_dither and out_dtype.kind != "f"
             fn = make_avir_executor(
                 plan,
                 errdiff=(dither == "errdiff-device"),
                 precision=precision,
-                return_predither=host_errdiff,
+                return_predither=host_errdiff or use_custom,
                 engine=engine,
             )
-            if not host_errdiff:
+            if not (host_errdiff or use_custom):
                 return fn
-
-            from .. import native
 
             out_bits = 8 if out_dtype.itemsize == 1 else 16
             out_max = float((1 << out_bits) - 1)
             trunc_bits = out_bits - self.res_bit_depth
+
+            if use_custom:
+                # Custom-ditherer slot (the reference's fpclass
+                # ditherer template parameter, avir.h:4569-4592).
+                def run(x):
+                    pre = np.asarray(fn(x), dtype=np.float64).reshape(
+                        new_h, new_w, ch
+                    )
+                    return np.asarray(
+                        dither(pre, trunc_bits, out_max, rnd_seed)
+                    ).astype(out_dtype)
+
+                return run
+
+            from .. import native
 
             def run(x):
                 pre = np.asarray(fn(x), dtype=np.float64).reshape(
@@ -231,7 +262,10 @@ class ImageResizer:
         if batch.ndim != 4:
             raise ValueError("batch must be [N, H, W, C]")
         n, sh, sw, ch = batch.shape
-        if kwargs.get("dither") in ("errdiff",):
+        if kwargs.get("dither") == "errdiff" or callable(
+            kwargs.get("dither")
+        ):
+            # host-finished dither stages run per image
             return np.stack(
                 [self.resize(im, new_w, new_h, **kwargs) for im in batch]
             )

@@ -146,6 +146,42 @@ def test_f64_lancir_host_route():
     np.testing.assert_allclose(outf, ref32, rtol=0, atol=5e-5)
 
 
+def test_custom_ditherer_slot():
+    """dither= accepts a callable — the extension slot the reference
+    exposes as the fpclass ditherer template parameter
+    (avir.h:4569-4592), with RndSeed plumbed through
+    (avir.h:2533-2535)."""
+    calls = []
+
+    def noise_dither(img, trunc_bits, out_max, rnd_seed):
+        calls.append((img.shape, trunc_bits, out_max, rnd_seed))
+        rng = np.random.default_rng(rnd_seed)
+        noisy = img + rng.uniform(-0.5, 0.5, img.shape)
+        return np.clip(np.floor(noisy + 0.5), 0, out_max)
+
+    src = xorshift128_fill((48, 64, 3), np.uint8, 99)
+    rz = avir_tpu.ImageResizer()
+    out1 = rz.resize(src, 32, 24, dither=noise_dither, rnd_seed=1)
+    out2 = rz.resize(src, 32, 24, dither=noise_dither, rnd_seed=2)
+    base = rz.resize(src, 32, 24)
+    assert out1.dtype == np.uint8 and out1.shape == (24, 32, 3)
+    assert calls and calls[0] == ((24, 32, 3), 0, 255.0, 1)
+    assert not np.array_equal(out1, out2)  # rnd_seed reaches the slot
+    assert np.abs(out1.astype(int) - base.astype(int)).max() <= 2
+
+    # host engine routes through the same slot
+    outh = rz.resize(
+        src, 32, 24, dither=noise_dither, rnd_seed=1, precision="f64"
+    )
+    assert np.abs(outh.astype(int) - out1.astype(int)).max() <= 1
+
+    # batch path falls back to per-image host finishing
+    outb = rz.resize_batch(
+        np.stack([src, src]), 32, 24, dither=noise_dither, rnd_seed=1
+    )
+    np.testing.assert_array_equal(outb[0], out1)
+
+
 def test_strided_view_roi_input():
     """Both drivers accept strided sub-rectangle views of a larger
     buffer (the reference's SrcScanlineSize / SrcSSize stride contract,
