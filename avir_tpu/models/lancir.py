@@ -93,6 +93,56 @@ class LancIR:
         return out[:, :, 0] if squeeze else out
 
 
+    def resize_batch(
+        self,
+        batch: np.ndarray,
+        new_w: int,
+        new_h: int,
+        **kwargs,
+    ) -> np.ndarray:
+        """Resize a batch [N, H, W, C] of same-shape frames in one
+        device program (vmapped pipeline) — the TPU-native form of the
+        reference's video batching, where one stateful CLancIR object
+        reuses its buffers across frames (lancir.h:319-324)."""
+        import jax
+
+        batch = np.asarray(batch)
+        if batch.ndim != 4:
+            raise ValueError("batch must be [N, H, W, C]")
+        n, sh, sw, ch = batch.shape
+        out_dtype = np.dtype(kwargs.get("out_dtype") or batch.dtype)
+        if kwargs.get("precision") == "f64":
+            return np.stack(
+                [self.resize(im, new_w, new_h, **kwargs) for im in batch]
+            )
+        key = (
+            "batch", n, sw, sh, new_w, new_h, ch, batch.dtype.str,
+            out_dtype.str,
+            kwargs.get("kx", 0.0), kwargs.get("ky", 0.0),
+            kwargs.get("ox", 0.0), kwargs.get("oy", 0.0),
+            kwargs.get("la", 3.0), kwargs.get("precision", "auto"),
+        )
+        with self._lock:
+            fn = self._cache.get(key)
+            if fn is None:
+                plan = build_lancir_plan(
+                    sw, sh, new_w, new_h, ch, batch.dtype, out_dtype,
+                    kx=kwargs.get("kx", 0.0), ky=kwargs.get("ky", 0.0),
+                    ox=kwargs.get("ox", 0.0), oy=kwargs.get("oy", 0.0),
+                    la=kwargs.get("la", 3.0),
+                )
+                single = make_lancir_executor(
+                    plan, precision=kwargs.get("precision", "auto")
+                )
+                fn = jax.jit(jax.vmap(single))
+                self._cache[key] = fn
+        flat = batch.reshape(n, sh, sw * ch)
+        out = np.asarray(fn(flat)).reshape(n, new_h, new_w, ch)
+        if out.dtype != out_dtype:
+            out = out.astype(out_dtype)  # float64 round-trip
+        return out
+
+
 def lancir_resize(
     src: np.ndarray, new_w: int, new_h: int, **kwargs
 ) -> np.ndarray:

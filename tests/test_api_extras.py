@@ -146,6 +146,24 @@ def test_f64_lancir_host_route():
     np.testing.assert_allclose(outf, ref32, rtol=0, atol=5e-5)
 
 
+def test_lancir_resize_batch():
+    """LANCIR batch resize (the video-batching role of the reference's
+    stateful CLancIR buffer reuse, lancir.h:319-324) matches per-frame
+    results."""
+    batch = np.stack(
+        [xorshift128_fill((48, 64, 3), np.uint8, 200 + i) for i in range(3)]
+    )
+    lz = avir_tpu.LancIR()
+    got = lz.resize_batch(batch, 40, 30)
+    assert got.shape == (3, 30, 40, 3) and got.dtype == np.uint8
+    for i in range(3):
+        single = lz.resize(batch[i], 40, 30)
+        np.testing.assert_array_equal(got[i], single)
+    # f64 precision routes per frame through the host oracle
+    gf = lz.resize_batch(batch, 40, 30, precision="f64")
+    assert np.abs(gf.astype(int) - got.astype(int)).max() <= 1
+
+
 def test_custom_ditherer_slot():
     """dither= accepts a callable — the extension slot the reference
     exposes as the fpclass ditherer template parameter
