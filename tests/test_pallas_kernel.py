@@ -176,6 +176,68 @@ def test_fused_kernel_hv_order_upsize():
     np.testing.assert_allclose(out, ref, atol=np.abs(ref).max() * 1e-4)
 
 
+def test_fused_kernel_wide_upsize_tiles():
+    """The DMA-shaped upsize tiles (pick_tile=256 rows,
+    pick_lane_tile ~2304 lanes — docs/perf_analysis.md upsizing
+    section) produce <= 1 LSB vs the f64 oracle through the production
+    executor in interpret mode.  Sized to actually trigger the wide
+    path (n_out*c >= 4096 and k < 1 on both axes)."""
+    from avir_tpu.models.host_reference import execute_plan_numpy
+    from avir_tpu.models.runtime import make_avir_executor
+    from avir_tpu.ops.lanes import pick_lane_tile
+
+    plan = build_resize_plan(512, 600, 1536, 1800, 3, np.uint8, np.uint8)
+    assert pick_lane_tile(plan.h.op, 3) == 768  # wide path engaged
+    from avir_tpu.ops.banded import pick_tile
+
+    assert pick_tile(plan.v.op) == 256
+    x = xorshift128_fill((600, 512 * 3), np.uint8, 83)
+    fn = make_avir_executor(plan, engine="pallas")
+    # interpret mode: conftest runs on CPU
+    import avir_tpu.models.runtime as rt
+
+    out = np.asarray(
+        _interpret_executor(fn, plan, x)
+    )
+    ref = execute_plan_numpy(plan, x.reshape(600, 512, 3)).reshape(
+        1800, 1536 * 3
+    )
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+
+def _interpret_executor(fn, plan, x):
+    """Run the pallas-engine executor under interpret mode on CPU."""
+    import jax.numpy as jnp
+    from unittest import mock
+
+    import avir_tpu.ops.pallas.fused_kernel as fk
+    import avir_tpu.ops.pallas.banded_kernel as bk
+    import avir_tpu.ops.pallas.lanes_kernel as lk
+
+    orig_fused = fk.apply_fused_pallas
+
+    def fused_i(*a, **kw):
+        kw["interpret"] = True
+        return orig_fused(*a, **kw)
+
+    orig_b = bk.apply_blocked_pallas
+
+    def b_i(*a, **kw):
+        kw["interpret"] = True
+        return orig_b(*a, **kw)
+
+    orig_l = lk.apply_lanes_pallas
+
+    def l_i(*a, **kw):
+        kw["interpret"] = True
+        return orig_l(*a, **kw)
+
+    with mock.patch.object(fk, "apply_fused_pallas", fused_i), \
+         mock.patch.object(bk, "apply_blocked_pallas", b_i), \
+         mock.patch.object(lk, "apply_lanes_pallas", l_i):
+        return fn(jnp.asarray(x))
+
+
 def test_fused_kernel_int8_mode():
     """MXU-int8 fixed-point route (ops/intq.py) vs the exact route:
     quantized output within 1 LSB, both pass orders."""
