@@ -45,6 +45,10 @@ def _gen_config(rng):
     bits = 16 if np.dtype(tout).itemsize == 2 else 8
     if np.dtype(tout).kind == "f":
         bits = 8
+    elif rng.random() < 0.25:
+        # Sub-8/16-bit significant depth: the remainder is truncated
+        # away by the ditherer (TrMul, avir.h:4351-4427).
+        bits = int(rng.integers(1, bits))
     precision = "exact" if rng.random() < 0.15 else "auto"
     # Forced build mode (CImageResizerVars.BuildMode, avir.h:2530-2532):
     # every mode must deliver near-identical results.
@@ -105,8 +109,12 @@ def test_fuzz_avir_vs_host_oracle(seed):
             out.astype(np.float64) - ref.astype(np.float64)
         ).max()
         lsb_tol = 1 if peak == 255.0 else 4
+        # Truncated depths quantize in 2^trunc-LSB steps; allow one.
+        out_bits = 8 if peak == 255.0 else 16
+        step = int(peak) / ((int(peak) >> (out_bits - cfg["bits"])))
+        lsb_tol = max(lsb_tol, int(np.ceil(step)))
         assert maxdiff <= lsb_tol, (maxdiff, cfg)
-        if out.size >= 64:
+        if out.size >= 64 and cfg["bits"] == out_bits:
             assert psnr(out, ref, peak) >= 60.0, cfg
 
 
