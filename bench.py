@@ -80,7 +80,7 @@ def main() -> int:
 
     vop = block_banded(plan.v.op)
     lop = lane_block_banded(plan.h.op, 3)
-    bv, tv, wv = vop.taps_hi.shape
+    bv, _tv, wv = vop.taps_hi.shape
     bh = lop.taps_hi.shape[0]
     bytes_moved = bv * bh * wv * lop.win_l + NEW_W * NEW_H * 3
     gbs = bytes_moved / 1e9 / (ms / 1e3)

@@ -3,8 +3,6 @@ device — interpret mode on the TPU backend uses default-precision dots
 and is not numerically faithful; the compiled Mosaic path is exercised
 on the real chip by bench.py and the TPU spot checks)."""
 
-import contextlib
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -194,11 +192,7 @@ def test_fused_kernel_wide_upsize_tiles():
     x = xorshift128_fill((600, 512 * 3), np.uint8, 83)
     fn = make_avir_executor(plan, engine="pallas")
     # interpret mode: conftest runs on CPU
-    import avir_tpu.models.runtime as rt
-
-    out = np.asarray(
-        _interpret_executor(fn, plan, x)
-    )
+    out = np.asarray(_interpret_executor(fn, plan, x))
     ref = execute_plan_numpy(plan, x.reshape(600, 512, 3)).reshape(
         1800, 1536 * 3
     )
