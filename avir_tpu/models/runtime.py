@@ -47,6 +47,45 @@ def _narrow_lop(h_op, lop, c: int):
     return lane_block_banded(h_op, c, tile=base)
 
 
+def _pad_for_fused(a: jax.Array, vop, lop) -> jax.Array:
+    """Pre-pad once so split fused calls don't each re-pad."""
+    r, l = a.shape
+    if vop.n_in_pad > r or lop.lanes_pad > l:
+        a = jnp.pad(
+            a,
+            (
+                (0, max(vop.n_in_pad - r, 0)),
+                (0, max(lop.lanes_pad - l, 0)),
+            ),
+        )
+    return a
+
+
+def _split_lane_ops(h_op, lop, c: int):
+    """(lop_interior, lop_boundary) when splitting the lane blocks into
+    interior and boundary kernel calls tightens the interior chunk
+    window by >= 128 lanes, else (None, None).
+
+    The chunked H taps' per-chunk slice offsets must be block-invariant
+    within one kernel call, so the edge blocks' clamped tap phases
+    inflate win_c for everyone (1024 vs 768 at the 8K headline).  Two
+    calls over disjoint block subsets — assembled in one output buffer
+    via out_init aliasing, no extra copies — let the interior run at
+    its own tight window (~25% fewer interior H MACs)."""
+    if lop.ctaps_hi is None or lop.n_blocks < 4:
+        return None, None
+    from ..ops.lanes import lane_block_banded
+
+    interior = list(range(1, lop.n_blocks - 1))
+    cand = lane_block_banded(h_op, c, tile=lop.tile, block_list=interior)
+    if cand.chunk_rel is None or cand.win_c > lop.win_c - 128:
+        return None, None
+    bnd = lane_block_banded(
+        h_op, c, tile=lop.tile, block_list=[0, lop.n_blocks - 1]
+    )
+    return cand, bnd
+
+
 def _use_pallas(engine: str) -> bool:
     """Pallas kernels need a real TPU backend (Mosaic); XLA otherwise."""
     if engine == "xla":
@@ -303,12 +342,14 @@ def make_avir_executor(
                     "in-kernel route"
                 )
         elif route != "inkernel":
-            # auto: the in-kernel polynomial is the best measured route
-            # so far (docs/perf_analysis.md; the i16 prologue variant
-            # measured slower at every size, the limb-plane variant and
-            # the ring kernel are pending on-hardware numbers) — update
-            # this rule when tools/probe_gpre.py says otherwise.
+            # auto == inkernel: the measured winner at every size (see
+            # the route table above); re-probe with tools/probe_gpre.py
+            # before changing this.
             pass
+
+    lop_int = lop_bnd = None
+    if fused and not use_ring:
+        lop_int, lop_bnd = _split_lane_ops(plan.h.op, lop, c)
 
     @jax.jit
     def run(src: jax.Array) -> jax.Array:
@@ -351,9 +392,7 @@ def make_avir_executor(
                     src, vop.n_in_pad, lop.lanes_pad, c,
                     plan.alpha_index, plan.in_gamma_mult,
                 )
-            out2 = apply_fused_pallas(
-                vop, lop, xin, mv, mh,
-                x_lo=xlo,
+            kw = dict(
                 out_dtype=(out_dt if fuse_quant else jnp.float32),
                 out_max=plan.out_type_max,
                 trunc_bits=trunc_bits if fuse_quant else 0,
@@ -363,6 +402,25 @@ def make_avir_executor(
                 out_gamma_mult=plan.out_gamma_mult,
                 order=forder,
             )
+            if lop_int is not None:
+                # Interior/boundary lane split: boundary blocks first,
+                # then the interior call scatters into the same buffer
+                # (out_init aliasing) at its tighter chunk window.
+                xin = _pad_for_fused(xin, vop, lop)
+                if xlo is not None:
+                    xlo = _pad_for_fused(xlo, vop, lop)
+                ob = apply_fused_pallas(
+                    vop, lop_bnd, xin, mv, mh, x_lo=xlo,
+                    out_blocks=lop.n_blocks, **kw,
+                )
+                out2 = apply_fused_pallas(
+                    vop, lop_int, xin, mv, mh, x_lo=xlo,
+                    out_blocks=lop.n_blocks, out_init=ob, **kw,
+                )
+            else:
+                out2 = apply_fused_pallas(
+                    vop, lop, xin, mv, mh, x_lo=xlo, **kw,
+                )
             x = out2[: vop.n_out, : hop.n_out * c]
             if fuse_quant or plan.is_out_float or return_predither:
                 return x
@@ -456,6 +514,9 @@ def make_lancir_executor(
         if not fused:
             lop = _narrow_lop(plan.h, lop, c)
     mv, mh = (mode1, mode2) if forder == "vh" else (mode2, mode1)
+    lop_int = lop_bnd = None
+    if fused:
+        lop_int, lop_bnd = _split_lane_ops(plan.h, lop, c)
 
     @jax.jit
     def run(src: jax.Array) -> jax.Array:
@@ -463,14 +524,27 @@ def make_lancir_executor(
         if fused:
             from ..ops.pallas.fused_kernel import apply_fused_pallas
 
-            out2 = apply_fused_pallas(
-                vop, lop, src, mv, mh,
-                out_dtype=(out_dt if not plan.is_out_float else jnp.float32),
+            kw = dict(
+                out_dtype=(
+                    out_dt if not plan.is_out_float else jnp.float32
+                ),
                 out_max=plan.clamp,
                 scale=plan.out_mul,
                 round_mode="even",
                 order=forder,
             )
+            if lop_int is not None:
+                xin = _pad_for_fused(src, vop, lop)
+                ob = apply_fused_pallas(
+                    vop, lop_bnd, xin, mv, mh,
+                    out_blocks=lop.n_blocks, **kw,
+                )
+                out2 = apply_fused_pallas(
+                    vop, lop_int, xin, mv, mh,
+                    out_blocks=lop.n_blocks, out_init=ob, **kw,
+                )
+            else:
+                out2 = apply_fused_pallas(vop, lop, src, mv, mh, **kw)
             x = out2[: vop.n_out, : hop.n_out * c]
             if not plan.is_out_float:
                 return x

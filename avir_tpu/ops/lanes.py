@@ -73,6 +73,9 @@ class LaneBlockedOp:
     # or the band already fills the window.
     chunk_rel: tuple[int, ...] | None = None  # per-chunk window offset
     win_c: int = 0                            # chunk window lanes
+    # Subset form (block_list): original output-column index of each
+    # block; None for the full operator (identity mapping).
+    out_idx: np.ndarray | None = None
     ctaps_hi: jax.Array | None = None  # bf16 [n_blocks, n_ch, win_c, 128]
     ctaps_lo: jax.Array | None = None
     ctaps_q1: jax.Array | None = None  # s8
@@ -118,14 +121,24 @@ def pick_lane_tile(op: BandedOp, c: int, wide: bool = True) -> int:
 
 
 def lane_block_banded(
-    op: BandedOp, c: int, tile: int | None = None
+    op: BandedOp, c: int, tile: int | None = None,
+    block_list: list[int] | None = None,
 ) -> LaneBlockedOp:
     """Build the lane-side blocked form.
 
     Window starts are 128-LANE aligned (up to 127 lanes of zero-tap
     slack per block).  The default tile comes from ``pick_lane_tile``
     (a multiple of 128/gcd(c,128) rows, so each output block spans a
-    whole number of 128-lane tiles)."""
+    whole number of 128-lane tiles).
+
+    ``block_list`` restricts the result to a SUBSET of output blocks
+    (identical offsets/taps — arrays are built for all blocks, then
+    sliced — but the chunked-band sub-window ``win_c`` is recomputed
+    from the subset alone).  The edge blocks' clamped tap phases
+    inflate the shared chunk windows by 1-2 x 128 lanes (the chunk
+    slice offsets must be block-invariant), so splitting interior and
+    boundary blocks into separate kernel calls tightens the interior
+    win_c; ``out_idx`` records each subset block's original column."""
     step = 128 // int(np.gcd(c, 128))
     if tile is None:
         tile = pick_lane_tile(op, c)
@@ -164,15 +177,32 @@ def lane_block_banded(
                     t * c + ch,
                 ] = op.taps[i]
 
-    taps = jnp.asarray(dense)
-    taps_hi = taps.astype(jnp.bfloat16)
-    taps_lo = (taps - taps_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-
     from .intq import first_pass_overflow_safe, quantize_limbs
 
+    # Fixed-point scales, norms and overflow bounds come from the FULL
+    # operator so block subsets stay bit-identical to the full form.
     q1, q0, q_shift = quantize_limbs(dense)
     if not first_pass_overflow_safe(q1, q0, contract_axis=1):
         q1 = q0 = None  # pragma: no cover - pathological taps only
+    l1_max = float(np.abs(dense).sum(axis=1).max())
+    q_abs1 = 0 if q1 is None else int(
+        np.abs(q1.astype(np.int64)).sum(axis=1).max()
+    )
+    q_abs0 = 0 if q0 is None else int(
+        np.abs(q0.astype(np.int64)).sum(axis=1).max()
+    )
+
+    out_idx = None
+    if block_list is not None:
+        out_idx = np.asarray(block_list, dtype=np.int64)
+        dense = dense[out_idx]
+        offs_l = offs_l[out_idx]
+        if q1 is not None:
+            q1, q0 = q1[out_idx], q0[out_idx]
+
+    taps = jnp.asarray(dense)
+    taps_hi = taps.astype(jnp.bfloat16)
+    taps_lo = (taps - taps_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     # Chunked banded form: per 128-lane output chunk, the sub-window of
     # contraction lanes actually touched (uniform across blocks up to
@@ -230,11 +260,8 @@ def lane_block_banded(
         ctaps_lo=c_lo,
         ctaps_q1=c_q1,
         ctaps_q0=c_q0,
-        l1_max=float(np.abs(dense).sum(axis=1).max()),
-        q_abs1=0 if q1 is None else int(
-            np.abs(q1.astype(np.int64)).sum(axis=1).max()
-        ),
-        q_abs0=0 if q0 is None else int(
-            np.abs(q0.astype(np.int64)).sum(axis=1).max()
-        ),
+        l1_max=l1_max,
+        q_abs1=q_abs1,
+        q_abs0=q_abs0,
+        out_idx=out_idx,
     )

@@ -412,11 +412,22 @@ def apply_fused_pallas(
     order: str = "vh",
     interpret: bool = False,
     x_lo: jax.Array | None = None,
+    out_blocks: int | None = None,
+    out_init: jax.Array | None = None,
 ) -> jax.Array:
     """[n_in_rows, n_in*C] -> [v_blocks*T_v, h_blocks*T_h*C]; callers
     slice to [new_h, new_w*C].  When ``out_dtype`` is an integer type
     the default dither (round/clamp/truncate) is fused into the
-    epilogue.  ``x_lo`` selects the gamma_pre route: (x, x_lo) are the
+    epilogue.
+
+    ``out_blocks``/``out_init`` support the interior/boundary lane
+    split (ops/lanes.py block_list): a lane-subset ``lop`` writes its
+    blocks into the original columns of an ``out_blocks``-wide buffer;
+    ``out_init`` (aliased, never read by the kernel) provides the
+    content of the columns this call does not touch, so two calls over
+    disjoint subsets assemble the full output with no extra copies.
+
+    ``x_lo`` selects the gamma_pre route: (x, x_lo) are the
     prologue kernel's s8 linear-light limb planes."""
     rows, lanes = x.shape
     c = lop.c
@@ -474,6 +485,18 @@ def apply_fused_pallas(
 
     grid = (Bh, Bv)  # vb innermost: H taps stay resident per column
 
+    # Output-column mapping: identity for the full operator; a lane
+    # SUBSET (lop.out_idx, see ops/lanes.py block_list) scatters its
+    # blocks into the original columns of a shared out buffer.
+    import numpy as np
+
+    out_cols = out_blocks if out_blocks is not None else Bh
+    oidx = (
+        lop.out_idx
+        if lop.out_idx is not None
+        else np.arange(Bh, dtype=np.int64)
+    )
+
     if chunked:
         n_ch = th_a.shape[1]
         th_spec = pl.BlockSpec(
@@ -485,13 +508,14 @@ def apply_fused_pallas(
         )
     x_spec = pl.BlockSpec(
         (pl.Element(Wv), pl.Element(WC)),
-        lambda hb, vb, offv32, offh128: (
+        lambda hb, vb, offv32, offh128, oidx_: (
             offv32[vb] * 32,
             offh128[hb] * 128,
         ),
     )
+    has_init = out_init is not None
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=grid,
         in_specs=[x_spec]
         + ([x_spec] if x_lo is not None else [])
@@ -504,37 +528,54 @@ def apply_fused_pallas(
             ),
             th_spec,
             th_spec,
-        ],
+        ]
+        + ([pl.BlockSpec(memory_space=pl.ANY)] if has_init else []),
         out_specs=pl.BlockSpec(
-            (Tv, TC), lambda hb, vb, *_: (vb, hb)
+            (Tv, TC),
+            lambda hb, vb, offv32, offh128, oidx_: (vb, oidx_[hb]),
         ),
     )
 
+    body = functools.partial(
+        _kernel,
+        mode_v=mode_v,
+        mode_h=mode_h,
+        out_max=out_max,
+        trunc_bits=trunc_bits,
+        scale=scale,
+        round_mode=round_mode,
+        c=lop.c,
+        gamma=gamma,
+        alpha_index=alpha_index,
+        in_gamma_mult=in_gamma_mult,
+        out_gamma_mult=out_gamma_mult,
+        order=order,
+        qv_shift=qv_shift,
+        qh_shift=qh_shift,
+        x_shift=x_shift,
+        chunk_rel=chunk_rel,
+        win_c=win_c,
+        gamma_pre=x_lo is not None,
+    )
+
+    def entry(offv_ref, offh_ref, oidx_ref, x_ref, *refs, **kw):
+        del oidx_ref
+        if has_init:  # drop the (never-read) aliased init ref
+            refs = refs[:-2] + (refs[-1],)
+        return body(offv_ref, offh_ref, x_ref, *refs, **kw)
+
+    # The aliased init (when given) is the 9th/10th flat input:
+    # 3 scalars + x (+ x_lo) + 4 tap tensors.
+    alias_idx = 3 + 1 + (1 if x_lo is not None else 0) + 4
+
     out = pl.pallas_call(
-        functools.partial(
-            _kernel,
-            mode_v=mode_v,
-            mode_h=mode_h,
-            out_max=out_max,
-            trunc_bits=trunc_bits,
-            scale=scale,
-            round_mode=round_mode,
-            c=lop.c,
-            gamma=gamma,
-            alpha_index=alpha_index,
-            in_gamma_mult=in_gamma_mult,
-            out_gamma_mult=out_gamma_mult,
-            order=order,
-            qv_shift=qv_shift,
-            qh_shift=qh_shift,
-            x_shift=x_shift,
-            chunk_rel=chunk_rel,
-            win_c=win_c,
-            gamma_pre=x_lo is not None,
-        ),
+        entry,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Bv * Tv, Bh * TC), out_dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (Bv * Tv, out_cols * TC), out_dtype
+        ),
         interpret=interpret,
+        input_output_aliases=({alias_idx: 0} if has_init else {}),
         cost_estimate=pl.CostEstimate(
             flops=2 * Bh * Bv * Tv * (
                 Wv * WC
@@ -546,9 +587,11 @@ def apply_fused_pallas(
             transcendentals=0,
         ),
     )(
-        vop.offs // 32, lop.offs_l // 128, x,
+        vop.offs // 32, lop.offs_l // 128, jnp.asarray(oidx, jnp.int32),
+        x,
         *([x_lo] if x_lo is not None else []),
         tv_a, tv_b, th_a, th_b,
+        *([out_init] if has_init else []),
     )
     return out
 

@@ -199,6 +199,54 @@ def test_fused_kernel_wide_upsize_tiles():
     assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
 
 
+def test_fused_kernel_interior_boundary_split():
+    """Interior/boundary lane split (ops/lanes.py block_list +
+    fused_kernel out_init aliasing): the two-call assembly is
+    BIT-IDENTICAL to the single-call int8 route (the interior's
+    tighter chunk window only drops structural-zero columns; s32 adds
+    are exact) and <= 1 LSB vs the f64 oracle end to end."""
+    from avir_tpu.models.host_reference import execute_plan_numpy
+    from avir_tpu.models.runtime import (
+        _split_lane_ops,
+        make_avir_executor,
+    )
+    from avir_tpu.ops.lanes import lane_block_banded
+    from avir_tpu.ops.pallas.fused_kernel import apply_fused_pallas
+
+    plan = build_resize_plan(2048, 1536, 512, 384, 3, np.uint8, np.uint8)
+    vop = block_banded(plan.v.op)
+    lop = lane_block_banded(plan.h.op, 3)
+    li, lb = _split_lane_ops(plan.h.op, lop, 3)
+    assert li is not None and li.win_c < lop.win_c
+    assert list(np.asarray(lb.out_idx)) == [0, lop.n_blocks - 1]
+
+    x = xorshift128_fill((1536, 2048 * 3), np.uint8, 91)
+    xj = jnp.asarray(x)
+    kw = dict(out_dtype=jnp.uint8, out_max=255.0, order="vh",
+              interpret=True)
+    single = np.asarray(
+        apply_fused_pallas(vop, lop, xj, "int8", "int8", **kw)
+    )
+    ob = apply_fused_pallas(
+        vop, lb, xj, "int8", "int8", out_blocks=lop.n_blocks, **kw
+    )
+    split = np.asarray(
+        apply_fused_pallas(
+            vop, li, xj, "int8", "int8", out_blocks=lop.n_blocks,
+            out_init=ob, **kw,
+        )
+    )
+    np.testing.assert_array_equal(split, single)
+
+    # and through the production executor
+    fn = make_avir_executor(plan, engine="pallas")
+    out = np.asarray(_interpret_executor(fn, plan, x))
+    ref = execute_plan_numpy(plan, x.reshape(1536, 2048, 3)).reshape(
+        384, 512 * 3
+    )
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+
 def _interpret_executor(fn, plan, x):
     """Run the pallas-engine executor under interpret mode on CPU."""
     import jax.numpy as jnp
