@@ -391,6 +391,7 @@ def _overlapped_v(
 def _pallas_strip_fn(
     svb: ShardedVOp,
     lop,
+    h_op,
     ext_rows: int,
     use_int8: bool,
     modes: tuple,
@@ -438,12 +439,30 @@ def _pallas_strip_fn(
             q_abs0=v_qa0,
         )
 
+    # Interior/boundary LANE split (same mechanism as the single-chip
+    # executors, models/runtime.py:_split_lane_ops): tightens the
+    # interior chunk window when the edge lane-blocks inflate it.
+    from ..models.runtime import _split_lane_ops
+
+    lop_int, lop_bnd = _split_lane_ops(h_op, lop, lop.c)
+
     def fused_call(vop_local, xin):
+        if lop_int is None:
+            return apply_fused_pallas(
+                vop_local, lop, xin, modes[0], modes[1],
+                order="vh",
+                interpret=interpret,
+                **fused_kwargs,
+            )
+        ob = apply_fused_pallas(
+            vop_local, lop_bnd, xin, modes[0], modes[1],
+            order="vh", interpret=interpret,
+            out_blocks=lop.n_blocks, **fused_kwargs,
+        )
         return apply_fused_pallas(
-            vop_local, lop, xin, modes[0], modes[1],
-            order="vh",
-            interpret=interpret,
-            **fused_kwargs,
+            vop_local, lop_int, xin, modes[0], modes[1],
+            order="vh", interpret=interpret,
+            out_blocks=lop.n_blocks, out_init=ob, **fused_kwargs,
         )
 
     def build_ext(x, h_lo, h_hi):
@@ -654,7 +673,7 @@ def make_sharded_avir_executor(
                 q_consts = (jnp.asarray(q1), jnp.asarray(q0))
 
         pallas_fn = _pallas_strip_fn(
-            svb, lop, ext_rows, use_int8,
+            svb, lop, plan.h.op, ext_rows, use_int8,
             ("int8", "int8") if use_int8 else (
                 mode_first, mode_second
             ),
@@ -855,7 +874,7 @@ def make_sharded_lancir_executor(
                 q_consts = (jnp.asarray(q1), jnp.asarray(q0))
 
         pallas_fn = _pallas_strip_fn(
-            svb, lop, ext_rows, use_int8,
+            svb, lop, plan.h, ext_rows, use_int8,
             ("int8", "int8") if use_int8 else (
                 mode_first, mode_second
             ),

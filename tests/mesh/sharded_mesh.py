@@ -243,3 +243,24 @@ def test_sharded_lancir_pallas_strips_u16():
     lz = avir_tpu.LancIR()
     single = lz.resize(src, 48, 96)
     assert np.abs(out.astype(int) - single.astype(int)).max() <= 1
+
+
+def test_sharded_strips_with_lane_split():
+    """Sharded fused strips with the interior/boundary LANE split
+    engaged (2048-px-wide rows give 4 lane blocks with an inflated
+    shared chunk window): matches single-chip <= 1 LSB."""
+    from avir_tpu.models.runtime import _split_lane_ops
+    from avir_tpu.ops.lanes import lane_block_banded
+
+    src = xorshift128_fill((768, 2048, 3), np.uint8, 419)
+    plan = build_resize_plan(2048, 768, 512, 192, 3, np.uint8, np.uint8)
+    lop = lane_block_banded(plan.h.op, 3)
+    li, _ = _split_lane_ops(plan.h.op, lop, 3)
+    assert li is not None  # split engaged
+    mesh = row_mesh(2)
+    fn = make_sharded_avir_executor(
+        plan, mesh, rows_axis="sp", engine="pallas", interpret=True
+    )
+    out = np.asarray(fn(src.reshape(768, -1))).reshape(192, 512, 3)
+    single = avir_tpu.resize(src, 512, 192)
+    assert np.abs(out.astype(int) - single.astype(int)).max() <= 1
