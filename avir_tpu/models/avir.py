@@ -321,6 +321,9 @@ class ImageResizer:
         return make_avir_executor(
             plan, precision=kwargs.get("precision", "auto"),
             engine=kwargs.get("engine", "auto"),
+            # vmapped below: the lane split's aliased out_init can't
+            # carry a batch dim through the Mosaic lowering
+            split_lanes=False,
         )
 
 
@@ -426,6 +429,9 @@ def make_resize_fn(
         errdiff=(dither == "errdiff-device"),
         precision=precision,
         engine=engine,
+        # traceable fns compose under the caller's vmap; the lane
+        # split's aliased out_init can't carry a batch dim
+        split_lanes=False,
     )
     return _traceable_wrapper(
         run, src_shape, sh, sw, ch, new_w, new_h, squeeze, flat

@@ -132,7 +132,8 @@ class LancIR:
                     la=kwargs.get("la", 3.0),
                 )
                 single = make_lancir_executor(
-                    plan, precision=kwargs.get("precision", "auto")
+                    plan, precision=kwargs.get("precision", "auto"),
+                    split_lanes=False,  # vmapped: see ImageResizer
                 )
                 fn = jax.jit(jax.vmap(single))
                 self._cache[key] = fn
@@ -180,7 +181,9 @@ def make_lancir_resize_fn(
         sw, sh, new_w, new_h, ch, in_dtype, out_dt,
         kx=kx, ky=ky, ox=ox, oy=oy, la=la,
     )
-    run = make_lancir_executor(plan, precision=precision, engine=engine)
+    run = make_lancir_executor(
+        plan, precision=precision, engine=engine, split_lanes=False
+    )
     return _traceable_wrapper(
         run, src_shape, sh, sw, ch, new_w, new_h, squeeze, flat
     )

@@ -208,6 +208,7 @@ def make_avir_executor(
     tile: int | None = None,
     return_predither: bool = False,
     engine: str = "auto",
+    split_lanes: bool = True,
 ) -> Callable[[jax.Array], jax.Array]:
     """Compile a ResizePlan into a jitted [H, W, C] -> [new_h, new_w, C]
     resize function.
@@ -347,8 +348,12 @@ def make_avir_executor(
             # before changing this.
             pass
 
+    # split_lanes=False for executors that will be vmapped (batch /
+    # traceable paths): the split's aliased out_init input cannot carry
+    # a batch dimension through the Mosaic lowering (ANY-space blocks
+    # need trivial index maps).
     lop_int = lop_bnd = None
-    if fused and not use_ring:
+    if fused and not use_ring and split_lanes:
         lop_int, lop_bnd = _split_lane_ops(plan.h.op, lop, c)
 
     @jax.jit
@@ -473,6 +478,7 @@ def make_lancir_executor(
     precision: str = "auto",
     tile: int | None = None,
     engine: str = "auto",
+    split_lanes: bool = True,
 ) -> Callable[[jax.Array], jax.Array]:
     """Compile a LancirPlan into a jitted resize function.
 
@@ -515,7 +521,7 @@ def make_lancir_executor(
             lop = _narrow_lop(plan.h, lop, c)
     mv, mh = (mode1, mode2) if forder == "vh" else (mode2, mode1)
     lop_int = lop_bnd = None
-    if fused:
+    if fused and split_lanes:  # False when vmapped (see avir maker)
         lop_int, lop_bnd = _split_lane_ops(plan.h, lop, c)
 
     @jax.jit

@@ -394,6 +394,7 @@ def _pallas_strip_fn(
     h_op,
     ext_rows: int,
     use_int8: bool,
+    split_lanes: bool,
     modes: tuple,
     fused_kwargs: dict,
     qmeta: tuple,
@@ -442,9 +443,13 @@ def _pallas_strip_fn(
     # Interior/boundary LANE split (same mechanism as the single-chip
     # executors, models/runtime.py:_split_lane_ops): tightens the
     # interior chunk window when the edge lane-blocks inflate it.
-    from ..models.runtime import _split_lane_ops
+    # Disabled under a batch axis (the body gets vmapped and the
+    # split's aliased out_init can't carry a batch dim).
+    lop_int = lop_bnd = None
+    if split_lanes:
+        from ..models.runtime import _split_lane_ops
 
-    lop_int, lop_bnd = _split_lane_ops(h_op, lop, lop.c)
+        lop_int, lop_bnd = _split_lane_ops(h_op, lop, lop.c)
 
     def fused_call(vop_local, xin):
         if lop_int is None:
@@ -674,6 +679,7 @@ def make_sharded_avir_executor(
 
         pallas_fn = _pallas_strip_fn(
             svb, lop, plan.h.op, ext_rows, use_int8,
+            batch_axis is None,
             ("int8", "int8") if use_int8 else (
                 mode_first, mode_second
             ),
@@ -875,6 +881,7 @@ def make_sharded_lancir_executor(
 
         pallas_fn = _pallas_strip_fn(
             svb, lop, plan.h, ext_rows, use_int8,
+            batch_axis is None,
             ("int8", "int8") if use_int8 else (
                 mode_first, mode_second
             ),

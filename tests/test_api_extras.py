@@ -146,6 +146,50 @@ def test_f64_lancir_host_route():
     np.testing.assert_allclose(outf, ref32, rtol=0, atol=5e-5)
 
 
+def test_vmapped_paths_disable_lane_split(monkeypatch):
+    """Batch and traceable executors must be built with
+    split_lanes=False: the interior/boundary lane split's aliased
+    out_init input cannot carry a batch dimension through the Mosaic
+    lowering (ANY-space blocks need trivial index maps), so a vmapped
+    split executor fails to compile on TPU."""
+    import avir_tpu.models.avir as mavir
+    import avir_tpu.models.lancir as mlancir
+    import avir_tpu.models.runtime as mrt
+
+    captured = []
+    orig = mrt.make_avir_executor
+
+    def spy(plan, *a, **kw):
+        captured.append(kw)
+        return orig(plan, *a, **kw)
+
+    # patch the source module (covers in-function imports) AND the
+    # drivers' bound globals
+    monkeypatch.setattr(mrt, "make_avir_executor", spy)
+    monkeypatch.setattr(mavir, "make_avir_executor", spy)
+    batch = np.stack(
+        [xorshift128_fill((24, 32, 3), np.uint8, i) for i in range(2)]
+    )
+    avir_tpu.ImageResizer().resize_batch(batch, 16, 12)
+    assert captured and captured[-1].get("split_lanes") is False
+    avir_tpu.make_resize_fn((24, 32, 3), np.uint8, 16, 12)
+    assert captured[-1].get("split_lanes") is False
+
+    captured2 = []
+    orig_l = mrt.make_lancir_executor
+
+    def spy_l(plan, *a, **kw):
+        captured2.append(kw)
+        return orig_l(plan, *a, **kw)
+
+    monkeypatch.setattr(mrt, "make_lancir_executor", spy_l)
+    monkeypatch.setattr(mlancir, "make_lancir_executor", spy_l)
+    avir_tpu.LancIR().resize_batch(batch, 16, 12)
+    assert captured2 and captured2[-1].get("split_lanes") is False
+    avir_tpu.make_lancir_resize_fn((24, 32, 3), np.uint8, 16, 12)
+    assert captured2[-1].get("split_lanes") is False
+
+
 def test_lancir_resize_batch():
     """LANCIR batch resize (the video-batching role of the reference's
     stateful CLancIR buffer reuse, lancir.h:319-324) matches per-frame
