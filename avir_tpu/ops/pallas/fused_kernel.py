@@ -621,12 +621,13 @@ def choose_fused(
     gamma rows vs the bf16-unfused gamma route):
 
       config                      unfused  fused-vh  fused-hv
-      8K->1080p u8 RGB                        0.478
-      4K->8K u8 RGB                           1.689     1.388
-      1080p->4K u8 RGB                        0.416     0.367
+      8K->1080p u8 RGB                        0.334
+      4K->8K u8 RGB                           1.689     1.224
+      1080p->4K u8 RGB                        0.416     0.327
       VGA->XGA u8 RGB                         0.039     0.032
-    (upsize hv numbers at round 2's DMA-shaped wide tiles,
-     pick_tile / pick_lane_tile — docs/perf_analysis.md upsizing)
+    (round-2 numbers: DMA-shaped upsize tiles — pick_tile /
+     pick_lane_tile — plus the interior/boundary lane split;
+     docs/perf_analysis.md)
       8K->1080p u8 RGB gamma        2.111     1.375
       1080p->4K u8 RGB gamma        0.809               0.759
       VGA->XGA u8 RGB gamma         0.073               0.069
