@@ -127,6 +127,14 @@ def run_one(src: np.ndarray, new_w: int, new_h: int, args) -> np.ndarray:
         src_bit_depth=8 if src.dtype == np.uint8 else 16,
         params=avir_tpu.preset(args.algparams),
     )
+    if args.zero_flush > 0 and ch == 4:
+        # Flush-to-zero by alpha runs on the INPUT, zeroing the whole
+        # pixel (RGB and alpha) below the threshold BEFORE resizing —
+        # verified against the shipped imageresize binary
+        # (tests/test_reference_binary.py): near-transparent source
+        # colors must not bleed into the resized image.
+        src = np.array(src)
+        src[src[:, :, 3] < args.zero_flush] = 0
     out = rz.resize(
         src,
         new_w,
@@ -139,10 +147,6 @@ def run_one(src: np.ndarray, new_w: int, new_h: int, args) -> np.ndarray:
         alpha_index=3 if ch == 4 and args.gamma else -1,
         dither="errdiff" if args.dither else "default",
     )
-    if args.zero_flush > 0 and ch == 4:
-        out = np.array(out)  # resize output may be a read-only view
-        mask = out[:, :, 3] < args.zero_flush
-        out[mask, :3] = 0
     return out
 
 

@@ -96,6 +96,11 @@ def test_16bit_roundtrip_and_force8(tmp_path):
 
 
 def test_gamma_alpha_zero_flush(tmp_path):
+    """--zero-flush zeroes whole INPUT pixels (RGB and alpha) below
+    the alpha threshold BEFORE resizing — semantics verified against
+    the shipped imageresize binary (tests/test_reference_binary.py)."""
+    import avir_tpu
+
     src = xorshift128_fill((32, 32, 4), np.uint8, 31)
     src[:8, :8, 3] = 0  # transparent corner
     inp = tmp_path / "in.png"
@@ -107,7 +112,13 @@ def test_gamma_alpha_zero_flush(tmp_path):
     ) == 0
     got = cli.load_image(str(out))
     assert got.shape == (16, 16, 4)
-    assert (got[got[:, :, 3] < 8, :3] == 0).all()
+    flushed = np.array(src)
+    flushed[src[:, :, 3] < 8] = 0
+    rz = avir_tpu.ImageResizer(res_bit_depth=8, src_bit_depth=8)
+    expect = rz.resize(
+        flushed, 16, 16, use_srgb_gamma=True, alpha_index=3
+    )
+    np.testing.assert_array_equal(got, expect)
 
 
 def test_auto_scale(tmp_path, rgb_png, capsys):

@@ -94,6 +94,97 @@ def test_binary_parity(
     assert psnr(a, b, 255.0) >= min_psnr, (name, psnr(a, b, 255.0))
 
 
+def test_binary_parity_png48(ref_bin, tmp_path):
+    """16-bit (PNG-48) pipeline end to end, plus --force-8bit."""
+    from avir_tpu import native
+    from avir_tpu.cli import main as cli_main
+
+    img16 = xorshift128_fill((60, 80, 3), np.uint16, 555)
+    src = tmp_path / "in16.png"
+    src.write_bytes(native.png_encode(img16))
+
+    ref_out = tmp_path / "ref16.png"
+    our_out = tmp_path / "ours16.png"
+    subprocess.run(
+        [str(ref_bin), str(src), str(ref_out), "50x40"],
+        check=True, capture_output=True, timeout=300,
+    )
+    assert cli_main([str(src), str(our_out), "--out-size=50x40"]) == 0
+    a = native.png_decode(ref_out.read_bytes()).astype(np.int64)
+    b = native.png_decode(our_out.read_bytes()).astype(np.int64)
+    assert a.shape == b.shape and a.dtype == b.dtype
+    # 16-bit outputs: the reference computes f32, we split-bf16 — a few
+    # 16-bit LSBs of noise; gate tight via PSNR + small LSB bound.
+    assert np.abs(a - b).max() <= 8, np.abs(a - b).max()
+    assert psnr(a, b, 65535.0) >= 80.0
+
+    ref8 = tmp_path / "ref8.png"
+    our8 = tmp_path / "ours8.png"
+    subprocess.run(
+        [str(ref_bin), str(src), str(ref8), "50x40", "--force-8bit"],
+        check=True, capture_output=True, timeout=300,
+    )
+    assert cli_main(
+        [str(src), str(our8), "--out-size=50x40", "--force-8bit"]
+    ) == 0
+    a8 = np.asarray(Image.open(ref8)).astype(np.int64)
+    b8 = np.asarray(Image.open(our8)).astype(np.int64)
+    assert a8.shape == b8.shape
+    assert np.abs(a8 - b8).max() <= 1
+
+
+def test_binary_parity_1bit_dither(ref_bin, tmp_path):
+    """--1bit dithered output (the reference's dither-quality
+    evaluation mode): identical density within 2%, both strictly
+    2-valued."""
+    from avir_tpu.cli import main as cli_main
+
+    img = xorshift128_fill((96, 128, 1), np.uint8, 787)[:, :, 0]
+    src = tmp_path / "g.png"
+    Image.fromarray(img).save(src)
+    ref_out = tmp_path / "ref1.png"
+    our_out = tmp_path / "ours1.png"
+    subprocess.run(
+        [str(ref_bin), str(src), str(ref_out), "96x72", "--dither",
+         "-1"],
+        check=True, capture_output=True, timeout=300,
+    )
+    assert cli_main(
+        [str(src), str(our_out), "--out-size=96x72", "--dither",
+         "--1bit"]
+    ) == 0
+    a = np.asarray(Image.open(ref_out)).astype(np.int64)
+    b = np.asarray(Image.open(our_out)).astype(np.int64)
+    assert set(np.unique(a)) <= {0, 255}
+    assert set(np.unique(b)) <= {0, 255}
+    # the serial error-diffusion recurrence amplifies f32-vs-f64 noise
+    # into different (but statistically equivalent) dot patterns
+    assert abs(a.mean() - b.mean()) <= 0.02 * 255.0
+
+
+def test_binary_parity_zero_flush(ref_bin, tmp_path):
+    """--zero-flush RGBA filtration semantics match."""
+    from avir_tpu.cli import main as cli_main
+
+    img = xorshift128_fill((80, 100, 4), np.uint8, 901)
+    src = tmp_path / "rgba.png"
+    Image.fromarray(img).save(src)
+    ref_out = tmp_path / "refz.png"
+    our_out = tmp_path / "oursz.png"
+    subprocess.run(
+        [str(ref_bin), str(src), str(ref_out), "60x48",
+         "--zero-flush=64"],
+        check=True, capture_output=True, timeout=300,
+    )
+    assert cli_main(
+        [str(src), str(our_out), "--out-size=60x48", "--zero-flush=64"]
+    ) == 0
+    a = np.asarray(Image.open(ref_out)).astype(np.int64)
+    b = np.asarray(Image.open(our_out)).astype(np.int64)
+    assert a.shape == b.shape
+    assert np.abs(a - b).max() <= 1
+
+
 def test_binary_parity_fit_and_crop(ref_bin, tmp_path):
     """--fit and --crop geometry semantics match the binary."""
     img = xorshift128_fill((90, 160, 3), np.uint8, 77)
