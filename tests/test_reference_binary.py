@@ -94,6 +94,16 @@ def test_binary_parity(
     assert psnr(a, b, 255.0) >= min_psnr, (name, psnr(a, b, 255.0))
 
 
+def test_binary_parity_zero_dim_autocalc(ref_bin, tmp_path):
+    """'WIDTHx0' proportional auto-calculation matches the binary."""
+    img = xorshift128_fill((120, 160, 3), np.uint8, 611)
+    a, b = _run_pair(
+        ref_bin, tmp_path, img, "80x0", [], [], "autocalc"
+    )
+    assert a.shape == (60, 80, 3)
+    assert np.abs(a - b).max() <= 1
+
+
 def test_binary_parity_png48(ref_bin, tmp_path):
     """16-bit (PNG-48) pipeline end to end, plus --force-8bit."""
     from avir_tpu import native
