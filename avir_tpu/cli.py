@@ -172,8 +172,13 @@ def crop_for_aspect(
 
 def add_reflection(img: np.ndarray, spec: str) -> np.ndarray:
     """Append a vertically-flipped, alpha-faded reflection below the
-    image (reference tool's HEIGHT*ALPHA1[*ALPHA2] effect; 8-bit only).
-    Alpha-channel images fade via alpha; opaque images fade to black."""
+    resized image — the reference tool's HEIGHT*ALPHA1[*ALPHA2]
+    effect, applied AFTER resizing (HEIGHT is in output pixels).
+    Semantics verified against the shipped
+    imageresize binary (tests/test_reference_binary.py): the result is
+    always RGBA (the original part gets alpha 255 / its own alpha);
+    reflection rows keep the flipped colors verbatim and fade via
+    alpha = rint(alpha_flipped * linspace(A1, A2, HEIGHT))."""
     parts = spec.split("*")
     if len(parts) not in (2, 3):
         raise SystemExit(f"invalid --reflection {spec!r}")
@@ -185,19 +190,28 @@ def add_reflection(img: np.ndarray, spec: str) -> np.ndarray:
         raise SystemExit(f"invalid --reflection {spec!r}")
     if img.dtype != np.uint8:
         raise SystemExit("--reflection supports 8-bit images only")
-    height = min(height, img.shape[0])
-    if height <= 0:
-        return img
-    refl = img[-height:][::-1].astype(np.float64)
-    ramp = np.linspace(a1, a2, height)[:, None]
     ch = img.shape[2]
-    if ch in (2, 4):
-        refl[:, :, -1] *= ramp
+    if ch in (1, 2):  # expand grey(-alpha) to RGB(A)
+        rgb = np.repeat(img[:, :, :1], 3, axis=2)
     else:
-        refl *= ramp[:, :, None]
-    return np.concatenate(
-        [img, np.clip(np.rint(refl), 0, 255).astype(np.uint8)], axis=0
+        rgb = img[:, :, :3]
+    if ch in (2, 4):
+        alpha = img[:, :, -1]
+    else:
+        alpha = np.full(img.shape[:2], 255, np.uint8)
+    height = min(height, img.shape[0])
+    base = np.concatenate([rgb, alpha[:, :, None]], axis=2)
+    if height <= 0:
+        return base
+    ramp = np.linspace(a1, a2, height)[:, None]
+    r_alpha = np.clip(
+        np.rint(alpha[-height:][::-1].astype(np.float64) * ramp),
+        0, 255,
+    ).astype(np.uint8)
+    refl = np.concatenate(
+        [rgb[-height:][::-1], r_alpha[:, :, None]], axis=2
     )
+    return np.concatenate([base, refl], axis=0)
 
 
 def main(argv=None) -> int:
@@ -319,6 +333,8 @@ def main(argv=None) -> int:
     nw, nh = resolve_size(nw, nh, sw, sh)
     out = run_one(src, nw, nh, args)
     if args.reflection:
+        # output effect: HEIGHT is in output pixels (verified against
+        # the shipped binary at non-unit scales)
         out = add_reflection(out, args.reflection)
     save_image(args.output, out, args.out_quality, args.jpeg_low_cs)
     return 0

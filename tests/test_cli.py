@@ -156,12 +156,20 @@ def test_crop_and_fit(tmp_path, rgb_png):
 
 
 def test_reflection(tmp_path, rgb_png):
+    """Reflection output is RGBA: flipped rows appended after the
+    resize, faded via the alpha channel (semantics verified against
+    the shipped binary, tests/test_reference_binary.py)."""
     inp, _ = rgb_png
     out = tmp_path / "r.png"
     assert cli.main(
         [str(inp), str(out), "--out-size=32x24", "--reflection=8*0.5"]
     ) == 0
-    assert cli.load_image(str(out)).shape == (32, 32, 3)
+    got = cli.load_image(str(out))
+    assert got.shape == (32, 32, 4)
+    assert (got[:24, :, 3] == 255).all()
+    np.testing.assert_array_equal(got[24:, :, :3], got[16:24, :, :3][::-1])
+    ramp = np.rint(255.0 * np.linspace(0.5, 0.0, 8)).astype(int)
+    np.testing.assert_array_equal(got[24:, 0, 3].astype(int), ramp)
 
 
 def test_jpeg_output(tmp_path, rgb_png):

@@ -195,6 +195,27 @@ def test_binary_parity_zero_flush(ref_bin, tmp_path):
     assert np.abs(a - b).max() <= 1
 
 
+def test_binary_parity_reflection(ref_bin, tmp_path):
+    """--reflection effect: output RGBA with alpha-faded flipped rows
+    appended AFTER resizing (height in output pixels)."""
+    img = xorshift128_fill((60, 80, 3), np.uint8, 313)
+    a, b = _run_pair(
+        ref_bin, tmp_path, img, "40x0",
+        ["--reflection=15*0.4*0.0"], ["--reflection=15*0.4*0.0"],
+        "refl3",
+    )
+    assert a.shape == (45, 40, 4)
+    assert np.abs(a - b).max() <= 1
+    rgba = xorshift128_fill((40, 50, 4), np.uint8, 314)
+    a, b = _run_pair(
+        ref_bin, tmp_path, rgba, "25x0",
+        ["--reflection=10*0.8*0.2"], ["--reflection=10*0.8*0.2"],
+        "refl4",
+    )
+    assert a.shape == (30, 25, 4)
+    assert np.abs(a - b).max() <= 1
+
+
 def test_binary_parity_fit_and_crop(ref_bin, tmp_path):
     """--fit and --crop geometry semantics match the binary."""
     img = xorshift128_fill((90, 160, 3), np.uint8, 77)
