@@ -59,6 +59,10 @@ def _run_pair(ref_bin, tmp_path, img, size, ref_flags, our_args, name):
     assert rc == 0
     a = np.asarray(Image.open(ref_out)).astype(np.int64)
     b = np.asarray(Image.open(our_out)).astype(np.int64)
+    if a.ndim == 3 and b.ndim == 2:
+        # the binary's decoder upconverts grayscale PNGs to RGB; ours
+        # keeps them grayscale — identical per channel
+        b = np.repeat(b[:, :, None], a.shape[2], axis=2)
     assert a.shape == b.shape, (name, a.shape, b.shape)
     return a, b
 
@@ -92,6 +96,28 @@ def test_binary_parity(
     maxdiff = np.abs(a - b).max()
     assert maxdiff <= lsb, (name, maxdiff)
     assert psnr(a, b, 255.0) >= min_psnr, (name, psnr(a, b, 255.0))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_binary_parity_fuzz(ref_bin, tmp_path, seed):
+    """Randomized geometry/preset sweep against the shipped binary —
+    odd sizes, channel counts and presets the hand-picked cases miss."""
+    rng = np.random.default_rng(7000 + seed)
+    sw = int(rng.integers(16, 200))
+    sh = int(rng.integers(16, 200))
+    nw = int(rng.integers(8, 220))
+    nh = int(rng.integers(8, 220))
+    ch = int(rng.choice([1, 3, 4]))
+    preset = str(rng.choice(["def", "low", "high", "lr"]))
+    img = xorshift128_fill((sh, sw, ch), np.uint8, 7100 + seed)
+    if ch == 1:
+        img = img[:, :, 0]  # PIL grayscale
+    a, b = _run_pair(
+        ref_bin, tmp_path, img, f"{nw}x{nh}",
+        [f"--algparams={preset}"], [f"--algparams={preset}"],
+        f"fuzz{seed}",
+    )
+    assert np.abs(a - b).max() <= 1, (seed, sw, sh, nw, nh, ch, preset)
 
 
 def test_binary_parity_zero_dim_autocalc(ref_bin, tmp_path):
