@@ -102,8 +102,15 @@ class ImageResizer:
         precision: str = "auto",
         rnd_seed: int = 0,
         engine: str = "auto",
+        out: np.ndarray | None = None,
     ) -> np.ndarray:
         """Resize ``src`` ([H, W, C] or [H, W]) to new_w x new_h.
+
+        ``out``: optional preallocated destination of the output shape
+        and dtype — may be a strided view of a larger buffer (the
+        reference's NewBuf + NewSSize output-stride contract,
+        avir.h:4680-4692, lancir.h:260-307); the result is written into
+        it through its strides and returned.
 
         ``k``: 0 = auto per-axis scale with centering; >0 = uniform scale
         with centering; <0 = |k| without centering (avir.h:4709-4736).
@@ -235,13 +242,23 @@ class ImageResizer:
         arg = src if getattr(fn, "host_3d", False) else src.reshape(
             sh, sw * ch
         )
-        out = np.asarray(fn(arg)).reshape(new_h, new_w, ch)
-        if out.dtype != out_dtype:
+        res = np.asarray(fn(arg)).reshape(new_h, new_w, ch)
+        if res.dtype != out_dtype:
             # float64 round-trip (the reference's fptype=double mode,
             # avir.h:4569-4592): device compute is float32 — TPUs have
             # no f64 units — but the API preserves the dtype.
-            out = out.astype(out_dtype)
-        return out[:, :, 0] if squeeze else out
+            res = res.astype(out_dtype)
+        res = res[:, :, 0] if squeeze else res
+        if out is not None:
+            # NewBuf/NewSSize output contract: write through the
+            # destination's strides (may be a view of a larger buffer).
+            if out.shape != res.shape:
+                raise ValueError(
+                    f"out shape {out.shape} != result {res.shape}"
+                )
+            np.copyto(out, res, casting="same_kind")
+            return out
+        return res
 
 
     def resize_batch(

@@ -33,8 +33,13 @@ class LancIR:
         la: float = 3.0,
         out_dtype=None,
         precision: str = "auto",
+        out: np.ndarray | None = None,
     ) -> np.ndarray:
         """Lanczos resize of ``src`` ([H, W, C] or [H, W]).
+
+        ``out``: optional preallocated destination, possibly a strided
+        view (the reference's NewBuf + NewSSize output contract,
+        lancir.h:260-307); written through its strides and returned.
 
         ``kx``/``ky``: 0 = auto scale with centering; >0 = given scale
         with centering; <0 = |k| without centering (lancir.h:430-457).
@@ -85,12 +90,20 @@ class LancIR:
         arg = src if getattr(fn, "host_3d", False) else src.reshape(
             sh, sw * ch
         )
-        out = np.asarray(fn(arg)).reshape(new_h, new_w, ch)
-        if out.dtype != out_dtype:
+        res = np.asarray(fn(arg)).reshape(new_h, new_w, ch)
+        if res.dtype != out_dtype:
             # float64 round-trip (reference templates on T = double,
             # lancir.h:386-390): f32 device compute, dtype preserved.
-            out = out.astype(out_dtype)
-        return out[:, :, 0] if squeeze else out
+            res = res.astype(out_dtype)
+        res = res[:, :, 0] if squeeze else res
+        if out is not None:
+            if out.shape != res.shape:
+                raise ValueError(
+                    f"out shape {out.shape} != result {res.shape}"
+                )
+            np.copyto(out, res, casting="same_kind")
+            return out
+        return res
 
 
     def resize_batch(

@@ -146,6 +146,31 @@ def test_f64_lancir_host_route():
     np.testing.assert_allclose(outf, ref32, rtol=0, atol=5e-5)
 
 
+def test_out_param_strided_destination():
+    """out= writes the result into a preallocated (possibly strided)
+    destination — the reference's NewBuf + NewSSize output contract
+    (avir.h:4680-4692, lancir.h:260-307)."""
+    src = xorshift128_fill((48, 64, 3), np.uint8, 21)
+    big = np.zeros((60, 80, 3), dtype=np.uint8)
+    view = big[10:34, 20:52]  # [24, 32, 3] strided destination
+    rz = avir_tpu.ImageResizer()
+    ret = rz.resize(src, 32, 24, out=view)
+    assert ret is view
+    np.testing.assert_array_equal(view, rz.resize(src, 32, 24))
+    assert not big[:10].any() and not big[34:].any()  # no overwrite
+
+    lz = avir_tpu.LancIR()
+    view2 = big[10:34, 20:52]
+    ret2 = lz.resize(src, 32, 24, out=view2)
+    assert ret2 is view2
+    np.testing.assert_array_equal(view2, lz.resize(src, 32, 24))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        rz.resize(src, 32, 24, out=np.zeros((5, 5, 3), np.uint8))
+
+
 def test_vmapped_paths_disable_lane_split(monkeypatch):
     """Batch and traceable executors must be built with
     split_lanes=False: the interior/boundary lane split's aliased
