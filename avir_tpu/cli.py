@@ -306,13 +306,22 @@ def main(argv=None) -> int:
         for sc in scales:
             nw, nh = max(1, round(sw * sc)), max(1, round(sh * sc))
             out = run_one(src, nw, nh, args)
+            if args.reflection:
+                # the reflection height scales with the factor
+                # (verified against the shipped binary: 80x60 + h=10
+                # reflection at 0.5 -> 40x35 = 30 + 5)
+                parts = args.reflection.split("*")
+                hs = int(int(parts[0]) * sc + 0.5)
+                out = add_reflection(
+                    out, "*".join([str(hs)] + parts[1:])
+                )
             path = outp.with_name(
                 f"{outp.stem}@{sc:g}{outp.suffix}"
             )
             save_image(
                 str(path), out, args.out_quality, args.jpeg_low_cs
             )
-            produced[str(path)] = [nw, nh]
+            produced[str(path)] = [out.shape[1], out.shape[0]]
         print(json.dumps(produced))
         return 0
 

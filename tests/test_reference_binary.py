@@ -242,6 +242,32 @@ def test_binary_parity_reflection(ref_bin, tmp_path):
     assert np.abs(a - b).max() <= 1
 
 
+def test_binary_parity_autoscale_reflection(ref_bin, tmp_path):
+    """--auto-scale + --reflection: resize first, reflection height
+    scaled by the factor (output naming schemes differ; pixel content
+    compared)."""
+    from avir_tpu.cli import main as cli_main
+
+    img = xorshift128_fill((60, 80, 3), np.uint8, 321)
+    src = tmp_path / "as_in.png"
+    Image.fromarray(img).save(src)
+    subprocess.run(
+        [str(ref_bin), str(src), str(tmp_path / "as_ref.png"),
+         "80x60", "--auto-scale=0.5", "--reflection=10*0.5"],
+        check=True, capture_output=True, timeout=300,
+    )
+    assert cli_main(
+        [str(src), str(tmp_path / "as_ours.png"), "--out-size=80x60",
+         "--auto-scale=0.5", "--reflection=10*0.5"]
+    ) == 0
+    a = np.asarray(Image.open(tmp_path / "as_ref-1.png")).astype(int)
+    b = np.asarray(
+        Image.open(tmp_path / "as_ours@0.5.png")
+    ).astype(int)
+    assert a.shape == b.shape == (35, 40, 4)
+    assert np.abs(a - b).max() <= 1
+
+
 def test_binary_parity_fit_and_crop(ref_bin, tmp_path):
     """--fit and --crop geometry semantics match the binary."""
     img = xorshift128_fill((90, 160, 3), np.uint8, 77)
