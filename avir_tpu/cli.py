@@ -303,7 +303,7 @@ def main(argv=None) -> int:
             raise SystemExit("--auto-scale is empty")
         outp = pathlib.Path(args.output)
         produced = {}
-        for sc in scales:
+        for i, sc in enumerate(scales):
             nw, nh = max(1, round(sw * sc)), max(1, round(sh * sc))
             out = run_one(src, nw, nh, args)
             if args.reflection:
@@ -315,14 +315,16 @@ def main(argv=None) -> int:
                 out = add_reflection(
                     out, "*".join([str(hs)] + parts[1:])
                 )
-            path = outp.with_name(
-                f"{outp.stem}@{sc:g}{outp.suffix}"
-            )
+            # the reference tool suffixes produced files "-1", "-2", …
+            # and prints a {"__file-list": {path: {f, w, h}}} JSON map
+            path = outp.with_name(f"{outp.stem}-{i + 1}{outp.suffix}")
             save_image(
                 str(path), out, args.out_quality, args.jpeg_low_cs
             )
-            produced[str(path)] = [out.shape[1], out.shape[0]]
-        print(json.dumps(produced))
+            produced[str(path)] = {
+                "f": i, "w": out.shape[1], "h": out.shape[0]
+            }
+        print(json.dumps({"__file-list": produced}))
         return 0
 
     if not args.out_size:

@@ -127,11 +127,13 @@ def test_auto_scale(tmp_path, rgb_png, capsys):
     assert cli.main(
         [str(inp), str(out), "--auto-scale=0.5;1.0"]
     ) == 0
-    produced = json.loads(capsys.readouterr().out)
+    produced = json.loads(capsys.readouterr().out)["__file-list"]
     assert len(produced) == 2
-    sizes = sorted(tuple(v) for v in produced.values())
+    # reference-tool format: suffix "-N", {"f": idx, "w":, "h":}
+    sizes = sorted((v["w"], v["h"]) for v in produced.values())
     assert sizes == [(32, 24), (64, 48)]
     for path in produced:
+        assert path.endswith(("-1.png", "-2.png"))
         assert cli.load_image(path) is not None
 
 

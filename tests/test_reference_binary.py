@@ -262,7 +262,7 @@ def test_binary_parity_autoscale_reflection(ref_bin, tmp_path):
     ) == 0
     a = np.asarray(Image.open(tmp_path / "as_ref-1.png")).astype(int)
     b = np.asarray(
-        Image.open(tmp_path / "as_ours@0.5.png")
+        Image.open(tmp_path / "as_ours-1.png")
     ).astype(int)
     assert a.shape == b.shape == (35, 40, 4)
     assert np.abs(a - b).max() <= 1
