@@ -287,12 +287,13 @@ def make_avir_executor(
     #     fetched and linearized per cell (ops/pallas/fused_ring_kernel
     #     .py; uniform-stride downsizes only).
     # Measured on v5e (tools/probe_gpre.py / probe_ring_ablate.py,
-    # docs/perf_analysis.md):
+    # docs/perf_analysis.md; inkernel re-measured with round 2's
+    # interior/boundary lane split):
     #            inkernel  prologue   ring
-    #   VGA->XGA    0.069     0.084      -    ms
-    #   1080p->4K   0.759     0.793      -
-    #   4K->720p    0.391     0.648   0.653
-    #   8K->1080p   1.216     2.019   2.324
+    #   VGA->XGA    0.063     0.084      -    ms
+    #   1080p->4K   0.761     0.793      -
+    #   4K->720p    0.373     0.648   0.653
+    #   8K->1080p   1.180     2.019   2.324
     # "inkernel" wins everywhere: the separated routes pay the sRGB
     # polynomial at ~3x lower VPU throughput when its output must be
     # stored (prologue: HBM limb planes; ring: VMEM scratch) instead of
