@@ -10,12 +10,11 @@ dithering.  Unlike the reference the object IS safe to reuse concurrently
 
 from __future__ import annotations
 
-import threading
-
 import numpy as np
 
 from ..params import PARAMS_DEF, Params
 from ..plan.plan import build_resize_plan
+from ..utils.excache import ExecutorCache
 from .runtime import make_avir_executor
 
 
@@ -75,16 +74,13 @@ class ImageResizer:
         self.src_bit_depth = src_bit_depth
         self.params = params
         self.plan_cache = plan_cache
-        self._cache: dict = {}
-        self._lock = threading.Lock()
+        # Bounded LRU (a long-lived resizer fed many geometries must
+        # not grow executors without limit) with weakref-safe custom-
+        # ditherer identity tokens (id() can be recycled after GC).
+        self._cache = ExecutorCache(maxsize=64)
 
     def _executor(self, key, build):
-        with self._lock:
-            fn = self._cache.get(key)
-            if fn is None:
-                fn = build()
-                self._cache[key] = fn
-        return fn
+        return self._cache.get_or_build(key, build)
 
     def resize(
         self,
@@ -161,8 +157,9 @@ class ImageResizer:
         key = (
             sw, sh, new_w, new_h, ch, src.dtype.str, out_dtype.str,
             k, ox, oy, use_srgb_gamma, alpha_index,
-            # custom ditherers cache per callable identity
-            id(dither) if custom_dither else dither,
+            # custom ditherers cache per callable identity — weakref-
+            # safe token, never recycled (utils/excache.py)
+            self._cache.token(dither) if custom_dither else dither,
             rnd_seed if custom_dither else 0,
             build_mode, precision, engine,
             # routing env knob participates in executor identity
@@ -338,8 +335,9 @@ class ImageResizer:
         return make_avir_executor(
             plan, precision=kwargs.get("precision", "auto"),
             engine=kwargs.get("engine", "auto"),
-            # vmapped below: the lane split's aliased out_init can't
-            # carry a batch dim through the Mosaic lowering
+            # vmapped below: the aliased out_init assembly can't
+            # carry a batch dim — split_lanes=False selects the
+            # vmap-safe compact+concat lane split when profitable
             split_lanes=False,
         )
 
@@ -446,8 +444,9 @@ def make_resize_fn(
         errdiff=(dither == "errdiff-device"),
         precision=precision,
         engine=engine,
-        # traceable fns compose under the caller's vmap; the lane
-        # split's aliased out_init can't carry a batch dim
+        # traceable fns compose under the caller's vmap: the aliased
+        # out_init assembly can't carry a batch dim, so this selects
+        # the vmap-safe compact+concat lane split when profitable
         split_lanes=False,
     )
     return _traceable_wrapper(

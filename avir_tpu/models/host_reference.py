@@ -120,6 +120,58 @@ def execute_plan_numpy(
     return x.astype(dtype)
 
 
+def execute_plan_rows_numpy(
+    plan: ResizePlan, src: np.ndarray, rows
+) -> np.ndarray:
+    """Float64 oracle for a SUBSET of output rows.
+
+    Makes pod-scale parity checks affordable (e.g. the 16K x 16K
+    multi-host scenario, BASELINE config 5): only the input rows that
+    feed the sampled output rows go through the horizontal pass, so
+    cost scales with len(rows), not the image height.  Semantically
+    identical to ``execute_plan_numpy(...)[rows]`` (tested); the
+    default (non-recursive) ditherer only — error diffusion carries a
+    whole-image recurrence and cannot be row-sampled."""
+    rows = np.asarray(sorted(rows), dtype=np.int64)
+    vop = plan.v.op
+    need = np.unique(
+        (
+            vop.starts[rows].astype(np.int64)[:, None]
+            + np.arange(vop.width)[None, :]
+        ).ravel()
+    )
+    x = src[need].astype(np.float64)
+    if plan.use_srgb_gamma:
+        x = srgb_to_linear_np(x * plan.in_gamma_mult, plan.alpha_index)
+    x = np.moveaxis(x, 1, 0)  # [W, len(need), C]
+    x = apply_banded_numpy(plan.h.op, x)
+    x = np.moveaxis(x, 0, 1)  # [len(need), new_w, C]
+
+    # Vertical pass on the sampled rows, starts remapped into the
+    # compacted `need` index space.
+    idx = (
+        vop.starts[rows].astype(np.int64)[:, None]
+        + np.arange(vop.width)[None, :]
+    )
+    pos = np.searchsorted(need, idx.ravel()).reshape(idx.shape)
+    gathered = x[pos]  # [len(rows), width, new_w, C]
+    x = np.einsum("ow,owrc->orc", vop.taps[rows], gathered)
+
+    if plan.use_srgb_gamma:
+        x = linear_to_srgb_np(x, plan.alpha_index) * (
+            plan.out_gamma_mult if plan.out_gamma_mult != 0.0 else 1.0
+        )
+    if plan.is_out_float:
+        return x.astype(
+            np.float64 if getattr(plan, "out_float64", False)
+            else np.float32
+        )
+    out_bits = 8 if plan.out_type_max == 255.0 else 16
+    trunc_bits = out_bits - plan.res_bit_depth
+    x = default_dither(x, trunc_bits, plan.out_type_max)
+    return x.astype(np.uint8 if out_bits == 8 else np.uint16)
+
+
 def execute_lancir_numpy(plan, src: np.ndarray) -> np.ndarray:
     """Float64 host execution of a LancirPlan — the LANCIR analog of
     ``execute_plan_numpy`` and the compute path behind the public

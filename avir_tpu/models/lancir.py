@@ -8,18 +8,17 @@ immutable cached plans/executors and is safe to share.
 
 from __future__ import annotations
 
-import threading
-
 import numpy as np
 
 from ..plan.lancir_plan import build_lancir_plan
+from ..utils.excache import ExecutorCache
 from .runtime import make_lancir_executor
 
 
 class LancIR:
     def __init__(self):
-        self._cache: dict = {}
-        self._lock = threading.Lock()
+        # Bounded LRU executor cache (see utils/excache.py).
+        self._cache = ExecutorCache(maxsize=64)
 
     def resize(
         self,
@@ -68,25 +67,24 @@ class LancIR:
             sw, sh, new_w, new_h, ch, src.dtype.str, out_dtype.str,
             kx, ky, ox, oy, la, precision,
         )
-        with self._lock:
-            fn = self._cache.get(key)
-            if fn is None:
-                plan = build_lancir_plan(
-                    sw, sh, new_w, new_h, ch, src.dtype, out_dtype,
-                    kx=kx, ky=ky, ox=ox, oy=oy, la=la,
-                )
-                if precision == "f64":
-                    from .host_reference import execute_lancir_numpy
+        def build():
+            plan = build_lancir_plan(
+                sw, sh, new_w, new_h, ch, src.dtype, out_dtype,
+                kx=kx, ky=ky, ox=ox, oy=oy, la=la,
+            )
+            if precision == "f64":
+                from .host_reference import execute_lancir_numpy
 
-                    def fn(src3, _plan=plan):
-                        return execute_lancir_numpy(_plan, src3)
+                def fn(src3, _plan=plan):
+                    return execute_lancir_numpy(_plan, src3)
 
-                    # zero-copy strided-view input (the reference's
-                    # SrcSSize stride contract, lancir.h:260-307)
-                    fn.host_3d = True
-                else:
-                    fn = make_lancir_executor(plan, precision=precision)
-                self._cache[key] = fn
+                # zero-copy strided-view input (the reference's
+                # SrcSSize stride contract, lancir.h:260-307)
+                fn.host_3d = True
+                return fn
+            return make_lancir_executor(plan, precision=precision)
+
+        fn = self._cache.get_or_build(key, build)
         arg = src if getattr(fn, "host_3d", False) else src.reshape(
             sh, sw * ch
         )
@@ -135,21 +133,20 @@ class LancIR:
             kwargs.get("ox", 0.0), kwargs.get("oy", 0.0),
             kwargs.get("la", 3.0), kwargs.get("precision", "auto"),
         )
-        with self._lock:
-            fn = self._cache.get(key)
-            if fn is None:
-                plan = build_lancir_plan(
-                    sw, sh, new_w, new_h, ch, batch.dtype, out_dtype,
-                    kx=kwargs.get("kx", 0.0), ky=kwargs.get("ky", 0.0),
-                    ox=kwargs.get("ox", 0.0), oy=kwargs.get("oy", 0.0),
-                    la=kwargs.get("la", 3.0),
-                )
-                single = make_lancir_executor(
-                    plan, precision=kwargs.get("precision", "auto"),
-                    split_lanes=False,  # vmapped: see ImageResizer
-                )
-                fn = jax.jit(jax.vmap(single))
-                self._cache[key] = fn
+        def build():
+            plan = build_lancir_plan(
+                sw, sh, new_w, new_h, ch, batch.dtype, out_dtype,
+                kx=kwargs.get("kx", 0.0), ky=kwargs.get("ky", 0.0),
+                ox=kwargs.get("ox", 0.0), oy=kwargs.get("oy", 0.0),
+                la=kwargs.get("la", 3.0),
+            )
+            single = make_lancir_executor(
+                plan, precision=kwargs.get("precision", "auto"),
+                split_lanes=False,  # vmapped: see ImageResizer
+            )
+            return jax.jit(jax.vmap(single))
+
+        fn = self._cache.get_or_build(key, build)
         flat = batch.reshape(n, sh, sw * ch)
         out = np.asarray(fn(flat)).reshape(n, new_h, new_w, ch)
         if out.dtype != out_dtype:

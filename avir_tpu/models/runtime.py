@@ -86,6 +86,43 @@ def _split_lane_ops(h_op, lop, c: int):
     return cand, bnd
 
 
+def _concat_split_ok(
+    n_vblocks: int,
+    v_tile: int,
+    lop,
+    lop_int,
+    mode_h: str,
+    gamma: bool,
+    out_itemsize: int,
+) -> bool:
+    """Decide the vmap-safe lane split: two compact kernel calls plus a
+    lane CONCAT (one extra HBM round trip of the output) instead of the
+    aliased out_init assembly, which cannot carry a batch dimension
+    through Mosaic.  Engage only when the modeled interior H-MAC saving
+    beats the concat's copy cost (measured v5e orders of magnitude:
+    ~100 TMAC/s int8 / ~50 TMAC/s bf16 effective at these shapes,
+    ~0.6 TB/s streamed HBM)."""
+    if lop_int is None or lop.ctaps_hi is None:
+        return False
+    n_int = lop.n_blocks - 2
+    n_ch = lop.ctaps_hi.shape[1]
+    saving_macs = (
+        n_vblocks * v_tile * n_int * n_ch
+        * (lop.win_c - lop_int.win_c) * 128
+    )
+    if mode_h == "int8":
+        n_prod, mxu_rate = (3 if gamma else 2), 100e12
+    else:
+        n_prod, mxu_rate = (3 if mode_h == "split3" else 2), 50e12
+    save_s = n_prod * saving_macs / mxu_rate
+    out_bytes = (
+        n_vblocks * v_tile * lop.n_blocks * lop.tile * lop.c
+        * out_itemsize
+    )
+    copy_s = 2 * out_bytes / 600e9
+    return save_s > copy_s
+
+
 def _use_pallas(engine: str) -> bool:
     """Pallas kernels need a real TPU backend (Mosaic); XLA otherwise."""
     if engine == "xla":
@@ -349,13 +386,26 @@ def make_avir_executor(
             # before changing this.
             pass
 
-    # split_lanes=False for executors that will be vmapped (batch /
+    # split_lanes=False marks executors that will be vmapped (batch /
     # traceable paths): the split's aliased out_init input cannot carry
     # a batch dimension through the Mosaic lowering (ANY-space blocks
-    # need trivial index maps).
+    # need trivial index maps).  Those paths instead use the vmap-safe
+    # COMPACT+CONCAT assembly when the modeled H-MAC saving beats the
+    # concat's output copy (_concat_split_ok).
     lop_int = lop_bnd = None
-    if fused and not use_ring and split_lanes:
+    split_concat = False
+    if fused and not use_ring:
         lop_int, lop_bnd = _split_lane_ops(plan.h.op, lop, c)
+        if not split_lanes and lop_int is not None:
+            split_concat = _concat_split_ok(
+                vop.n_blocks, vop.tile, lop, lop_int,
+                mh, plan.use_srgb_gamma,
+                1 if plan.out_type_max == 255.0 else (
+                    4 if plan.is_out_float else 2
+                ),
+            )
+            if not split_concat:
+                lop_int = lop_bnd = None
 
     @jax.jit
     def run(src: jax.Array) -> jax.Array:
@@ -409,20 +459,38 @@ def make_avir_executor(
                 order=forder,
             )
             if lop_int is not None:
-                # Interior/boundary lane split: boundary blocks first,
-                # then the interior call scatters into the same buffer
-                # (out_init aliasing) at its tighter chunk window.
                 xin = _pad_for_fused(xin, vop, lop)
                 if xlo is not None:
                     xlo = _pad_for_fused(xlo, vop, lop)
-                ob = apply_fused_pallas(
-                    vop, lop_bnd, xin, mv, mh, x_lo=xlo,
-                    out_blocks=lop.n_blocks, **kw,
-                )
-                out2 = apply_fused_pallas(
-                    vop, lop_int, xin, mv, mh, x_lo=xlo,
-                    out_blocks=lop.n_blocks, out_init=ob, **kw,
-                )
+                if split_concat:
+                    # vmap-safe assembly: two COMPACT kernel calls
+                    # (no aliased input) + one lane concat of the
+                    # output (_concat_split_ok modeled it profitable).
+                    tc = lop.tile * c
+                    ob = apply_fused_pallas(
+                        vop, lop_bnd, xin, mv, mh, x_lo=xlo,
+                        compact_out=True, **kw,
+                    )
+                    oi = apply_fused_pallas(
+                        vop, lop_int, xin, mv, mh, x_lo=xlo,
+                        compact_out=True, **kw,
+                    )
+                    out2 = jnp.concatenate(
+                        [ob[:, :tc], oi, ob[:, tc:]], axis=1
+                    )
+                else:
+                    # Interior/boundary lane split: boundary blocks
+                    # first, then the interior call scatters into the
+                    # same buffer (out_init aliasing) at its tighter
+                    # chunk window — no extra copies.
+                    ob = apply_fused_pallas(
+                        vop, lop_bnd, xin, mv, mh, x_lo=xlo,
+                        out_blocks=lop.n_blocks, **kw,
+                    )
+                    out2 = apply_fused_pallas(
+                        vop, lop_int, xin, mv, mh, x_lo=xlo,
+                        out_blocks=lop.n_blocks, out_init=ob, **kw,
+                    )
             else:
                 out2 = apply_fused_pallas(
                     vop, lop, xin, mv, mh, x_lo=xlo, **kw,
@@ -471,6 +539,14 @@ def make_avir_executor(
         x = default_dither_jnp(x, trunc_bits, plan.out_type_max)
         return x.astype(out_dt)
 
+    # Observability: which interior/boundary lane-split assembly the
+    # executor uses (None / "alias" / "concat") — tested, and useful
+    # when debugging batch-path performance.
+    run.lane_split = (
+        "concat" if split_concat else (
+            "alias" if lop_int is not None else None
+        )
+    )
     return run
 
 
@@ -522,8 +598,21 @@ def make_lancir_executor(
             lop = _narrow_lop(plan.h, lop, c)
     mv, mh = (mode1, mode2) if forder == "vh" else (mode2, mode1)
     lop_int = lop_bnd = None
-    if fused and split_lanes:  # False when vmapped (see avir maker)
+    split_concat = False
+    if fused:
         lop_int, lop_bnd = _split_lane_ops(plan.h, lop, c)
+        # split_lanes=False marks vmapped callers (batch path): use the
+        # vmap-safe compact+concat assembly when modeled profitable,
+        # else no split (see make_avir_executor).
+        if not split_lanes and lop_int is not None:
+            split_concat = _concat_split_ok(
+                vop.n_blocks, vop.tile, lop, lop_int, mh, False,
+                4 if plan.is_out_float else (
+                    1 if plan.clamp == 255.0 else 2
+                ),
+            )
+            if not split_concat:
+                lop_int = lop_bnd = None
 
     @jax.jit
     def run(src: jax.Array) -> jax.Array:
@@ -542,14 +631,28 @@ def make_lancir_executor(
             )
             if lop_int is not None:
                 xin = _pad_for_fused(src, vop, lop)
-                ob = apply_fused_pallas(
-                    vop, lop_bnd, xin, mv, mh,
-                    out_blocks=lop.n_blocks, **kw,
-                )
-                out2 = apply_fused_pallas(
-                    vop, lop_int, xin, mv, mh,
-                    out_blocks=lop.n_blocks, out_init=ob, **kw,
-                )
+                if split_concat:
+                    tc = lop.tile * c
+                    ob = apply_fused_pallas(
+                        vop, lop_bnd, xin, mv, mh,
+                        compact_out=True, **kw,
+                    )
+                    oi = apply_fused_pallas(
+                        vop, lop_int, xin, mv, mh,
+                        compact_out=True, **kw,
+                    )
+                    out2 = jnp.concatenate(
+                        [ob[:, :tc], oi, ob[:, tc:]], axis=1
+                    )
+                else:
+                    ob = apply_fused_pallas(
+                        vop, lop_bnd, xin, mv, mh,
+                        out_blocks=lop.n_blocks, **kw,
+                    )
+                    out2 = apply_fused_pallas(
+                        vop, lop_int, xin, mv, mh,
+                        out_blocks=lop.n_blocks, out_init=ob, **kw,
+                    )
             else:
                 out2 = apply_fused_pallas(vop, lop, src, mv, mh, **kw)
             x = out2[: vop.n_out, : hop.n_out * c]
@@ -573,4 +676,9 @@ def make_lancir_executor(
         x = jnp.clip(jnp.round(x), 0.0, plan.clamp)
         return x.astype(out_dt)
 
+    run.lane_split = (
+        "concat" if split_concat else (
+            "alias" if lop_int is not None else None
+        )
+    )
     return run

@@ -414,6 +414,7 @@ def apply_fused_pallas(
     x_lo: jax.Array | None = None,
     out_blocks: int | None = None,
     out_init: jax.Array | None = None,
+    compact_out: bool = False,
 ) -> jax.Array:
     """[n_in_rows, n_in*C] -> [v_blocks*T_v, h_blocks*T_h*C]; callers
     slice to [new_h, new_w*C].  When ``out_dtype`` is an integer type
@@ -426,6 +427,12 @@ def apply_fused_pallas(
     ``out_init`` (aliased, never read by the kernel) provides the
     content of the columns this call does not touch, so two calls over
     disjoint subsets assemble the full output with no extra copies.
+
+    ``compact_out=True`` instead writes a lane-subset's blocks to
+    columns 0..n_blocks-1 in block order (a compact buffer the caller
+    reassembles, e.g. with a lane concat) — the vmap-safe form of the
+    split: no aliased ANY-space input, so the call composes under a
+    batch dimension.
 
     ``x_lo`` selects the gamma_pre route: (x, x_lo) are the
     prologue kernel's s8 linear-light limb planes."""
@@ -490,10 +497,12 @@ def apply_fused_pallas(
     # blocks into the original columns of a shared out buffer.
     import numpy as np
 
+    if compact_out and (out_blocks is not None or out_init is not None):
+        raise ValueError("compact_out excludes out_blocks/out_init")
     out_cols = out_blocks if out_blocks is not None else Bh
     oidx = (
         lop.out_idx
-        if lop.out_idx is not None
+        if lop.out_idx is not None and not compact_out
         else np.arange(Bh, dtype=np.int64)
     )
 

@@ -32,7 +32,10 @@ pass but never read by the V pass.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Callable, Optional
+
+logger = logging.getLogger("avir_tpu.parallel")
 
 import jax
 import jax.numpy as jnp
@@ -90,7 +93,12 @@ def _interior_split(
     device's offset so that interior-rebased slicing stays in range.
     Returns the contiguous interior range [b0, b1) — (0, 0) when the
     interior is empty or non-contiguous (falls back to all-border,
-    i.e. the previous non-overlapped behavior)."""
+    i.e. the previous non-overlapped behavior).  The fallback is
+    correct but forfeits the halo/compute overlap; it is logged at
+    DEBUG so deployments can notice (it happens when strips are so
+    small relative to the V window that every block touches a halo —
+    e.g. many devices on a short image — or, pathologically, when
+    clamped edge windows make the interior set non-contiguous)."""
     n_dev, blocks = offs.shape
     inter = np.zeros(blocks, dtype=bool)
     for b in range(blocks):
@@ -104,10 +112,20 @@ def _interior_split(
             if not valid[d, b]:
                 offs[d, b] = o[0]
     if not inter.any():
+        logger.debug(
+            "interior/halo overlap disabled: no interior blocks "
+            "(strip=%d, win=%d, halo_lo=%d, blocks=%d)",
+            strip, win, halo_lo, blocks,
+        )
         return 0, 0
     b0 = int(np.argmax(inter))
     b1 = blocks - int(np.argmax(inter[::-1]))
     if not inter[b0:b1].all():
+        logger.debug(
+            "interior/halo overlap disabled: interior blocks "
+            "non-contiguous (strip=%d, win=%d, halo_lo=%d, mask=%s)",
+            strip, win, halo_lo, inter.tolist(),
+        )
         return 0, 0
     return b0, b1
 
@@ -266,6 +284,10 @@ def shard_v_blocked(
     # Interior rebasing (offs - halo_lo) must keep the Pallas kernels'
     # 32-row alignment; otherwise treat everything as border.
     if halo_lo % 32:
+        logger.debug(
+            "interior/halo overlap disabled: halo_lo=%d not 32-aligned",
+            halo_lo,
+        )
         b0 = b1 = 0
     return ShardedVOp(
         n_in=op.n_in,
@@ -443,13 +465,22 @@ def _pallas_strip_fn(
     # Interior/boundary LANE split (same mechanism as the single-chip
     # executors, models/runtime.py:_split_lane_ops): tightens the
     # interior chunk window when the edge lane-blocks inflate it.
-    # Disabled under a batch axis (the body gets vmapped and the
-    # split's aliased out_init can't carry a batch dim).
-    lop_int = lop_bnd = None
-    if split_lanes:
-        from ..models.runtime import _split_lane_ops
+    # Under a batch axis (split_lanes=False: the body gets vmapped and
+    # the split's aliased out_init can't carry a batch dim) the
+    # vmap-safe COMPACT+CONCAT assembly is used instead, when the
+    # modeled interior H-MAC saving beats the concat's output copy.
+    from ..models.runtime import _concat_split_ok, _split_lane_ops
 
-        lop_int, lop_bnd = _split_lane_ops(h_op, lop, lop.c)
+    lop_int, lop_bnd = _split_lane_ops(h_op, lop, lop.c)
+    split_concat = False
+    if not split_lanes and lop_int is not None:
+        split_concat = _concat_split_ok(
+            blocks, svb.tile, lop, lop_int, modes[1],
+            fused_kwargs.get("gamma", False),
+            jnp.dtype(fused_kwargs["out_dtype"]).itemsize,
+        )
+        if not split_concat:
+            lop_int = lop_bnd = None
 
     def fused_call(vop_local, xin):
         if lop_int is None:
@@ -458,6 +489,21 @@ def _pallas_strip_fn(
                 order="vh",
                 interpret=interpret,
                 **fused_kwargs,
+            )
+        if split_concat:
+            tc = lop.tile * lop.c
+            ob = apply_fused_pallas(
+                vop_local, lop_bnd, xin, modes[0], modes[1],
+                order="vh", interpret=interpret,
+                compact_out=True, **fused_kwargs,
+            )
+            oi = apply_fused_pallas(
+                vop_local, lop_int, xin, modes[0], modes[1],
+                order="vh", interpret=interpret,
+                compact_out=True, **fused_kwargs,
+            )
+            return jnp.concatenate(
+                [ob[:, :tc], oi, ob[:, tc:]], axis=1
             )
         ob = apply_fused_pallas(
             vop_local, lop_bnd, xin, modes[0], modes[1],

@@ -140,6 +140,47 @@ def main() -> int:
             checked3 += got[j].shape[0]
     assert checked3 == nh3, checked3
     print(f"proc {pid}: 4K batch downsize verified", flush=True)
+
+    # Scenario 4 — BASELINE.json config 5 VERBATIM geometry: 16K x 16K
+    # -> 4K RGB downsize, row-strip sharded across both processes
+    # (sp=8 spanning the 2-process cluster, cross-process halo
+    # ppermutes).  Full-image f64 oracles are unaffordable at 16K, so
+    # parity uses the sampled-row oracle (execute_plan_rows_numpy):
+    # 16 deterministic rows per process checked at <= 1 LSB.
+    from avir_tpu.models.host_reference import execute_plan_rows_numpy
+
+    sh4, sw4, nh4, nw4 = 16384, 16384, 4096, 4096
+    src4 = xorshift128_fill((sh4, sw4 * c), np.uint8, 777).reshape(
+        sh4, sw4, c
+    )
+    plan4 = build_resize_plan(sw4, sh4, nw4, nh4, c, np.uint8, np.uint8)
+    fn4 = make_sharded_avir_executor(plan4, mesh, rows_axis="sp")
+    flat4 = src4.reshape(sh4, sw4 * c)
+    garr4 = jax.make_array_from_callback(
+        flat4.shape, sharding, lambda idx: flat4[idx]
+    )
+    out4 = fn4(garr4)
+    jax.block_until_ready(out4)
+    rng4 = np.random.default_rng(4242)  # same stream on both processes
+    sample = np.sort(rng4.choice(nh4, size=32, replace=False))
+    oracle4 = execute_plan_rows_numpy(plan4, src4, sample)
+    oracle4 = oracle4.reshape(len(sample), nw4 * c)
+    checked4 = 0
+    for shard in out4.addressable_shards:
+        r0, r1 = shard.index[0].start or 0, shard.index[0].stop
+        mine = [i for i, r in enumerate(sample) if r0 <= r < r1]
+        if not mine:
+            continue
+        got = np.asarray(shard.data).astype(np.int64)
+        for i in mine:
+            diff = np.abs(
+                got[sample[i] - r0] - oracle4[i].astype(np.int64)
+            ).max()
+            assert diff <= 1, (pid, int(sample[i]), diff)
+            checked4 += 1
+    assert checked4 >= 8, checked4  # each process owns ~half the rows
+    print(f"proc {pid}: 16K row-sharded sampled parity verified",
+          flush=True)
     return 0
 
 

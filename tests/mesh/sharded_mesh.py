@@ -245,6 +245,56 @@ def test_sharded_lancir_pallas_strips_u16():
     assert np.abs(out.astype(int) - single.astype(int)).max() <= 1
 
 
+def test_interior_split_fallback_logged(caplog):
+    """When strips are too small for any interior block the overlap is
+    forfeited (correct but slower); the fallback must be observable at
+    DEBUG level (VERDICT r2 item 8)."""
+    import logging
+
+    # strip=128 but the 64-row tile's window spans 256 rows: every
+    # block touches a halo, no interior exists.
+    plan = build_resize_plan(64, 256, 32, 128, 3, np.uint8, np.uint8)
+    with caplog.at_level(logging.DEBUG, logger="avir_tpu.parallel"):
+        so = shard_v_op(plan.v.op, 2, 256)
+    assert not so.use_all_gather and so.b_int1 <= so.b_int0
+    assert any(
+        "interior/halo overlap disabled" in r.message
+        for r in caplog.records
+    ), [r.message for r in caplog.records]
+
+
+def test_sharded_batch_strips_concat_lane_split():
+    """dp x sp batched fused strips regain the interior/boundary lane
+    split via the vmap-safe compact+concat assembly (VERDICT r2
+    item 3; the aliased out_init form can't carry the batch dim).
+    Profitability is geometry-dependent (engages at the 8K headline),
+    so the decision is forced here to exercise the assembly under
+    shard_map + vmap at CPU-testable size."""
+    from unittest import mock
+
+    import avir_tpu.models.runtime as rt
+    from avir_tpu.models.runtime import _split_lane_ops
+    from avir_tpu.ops.lanes import lane_block_banded
+
+    rng = np.random.default_rng(5)
+    batch = rng.integers(0, 256, (2, 768, 2048, 3), dtype=np.uint8)
+    plan = build_resize_plan(2048, 768, 512, 192, 3, np.uint8, np.uint8)
+    lop = lane_block_banded(plan.h.op, 3)
+    li, _ = _split_lane_ops(plan.h.op, lop, 3)
+    assert li is not None  # split available
+    mesh = jax.make_mesh((2, 2), ("dp", "sp"))
+    with mock.patch.object(rt, "_concat_split_ok", lambda *a: True):
+        fn = make_sharded_avir_executor(
+            plan, mesh, rows_axis="sp", batch_axis="dp",
+            engine="pallas", interpret=True,
+        )
+    out = np.asarray(fn(batch.reshape(2, 768, -1)))
+    for i in range(2):
+        single = avir_tpu.resize(batch[i], 512, 192)
+        got = out[i].reshape(192, 512, 3)
+        assert np.abs(got.astype(int) - single.astype(int)).max() <= 1
+
+
 def test_sharded_strips_with_lane_split():
     """Sharded fused strips with the interior/boundary LANE split
     engaged (2048-px-wide rows give 4 lane blocks with an inflated

@@ -371,3 +371,28 @@ def test_make_resize_fn_flat_layout():
     assert np.abs(
         out.reshape(30, 40, 3).astype(int) - ref.astype(int)
     ).max() <= 1
+
+
+def test_sampled_row_oracle_matches_full():
+    """execute_plan_rows_numpy == execute_plan_numpy[rows] exactly —
+    the sampled oracle behind the 16K multi-process parity scenario
+    (tests/mesh/mp_worker.py) and any pod-scale check."""
+    from avir_tpu.models.host_reference import (
+        execute_plan_numpy,
+        execute_plan_rows_numpy,
+    )
+
+    for gamma, tin, tout in (
+        (False, np.uint8, np.uint8),
+        (True, np.uint8, np.uint8),
+        (False, np.uint16, np.uint16),
+        (True, np.uint16, np.float32),
+    ):
+        src = xorshift128_fill((96, 64, 3), tin, 55)
+        plan = build_resize_plan(
+            64, 96, 40, 60, 3, tin, tout, use_srgb_gamma=gamma
+        )
+        full = execute_plan_numpy(plan, src)
+        rows = np.array([0, 1, 7, 30, 31, 59])
+        got = execute_plan_rows_numpy(plan, src, rows)
+        np.testing.assert_array_equal(got, full[rows])

@@ -247,6 +247,102 @@ def test_fused_kernel_interior_boundary_split():
     assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
 
 
+def test_fused_kernel_compact_split_vmap():
+    """Vmap-safe lane split (compact_out + lane concat): bit-identical
+    to the single-call int8 route, and — the property the aliased
+    out_init assembly lacks — composes under jax.vmap, recovering the
+    interior/boundary H-MAC saving on batched paths
+    (models/avir.py resize_batch, parallel/sharded.py dp x sp)."""
+    from avir_tpu.models.runtime import _split_lane_ops
+    from avir_tpu.ops.lanes import lane_block_banded
+    from avir_tpu.ops.pallas.fused_kernel import apply_fused_pallas
+
+    plan = build_resize_plan(2048, 1536, 512, 384, 3, np.uint8, np.uint8)
+    vop = block_banded(plan.v.op)
+    lop = lane_block_banded(plan.h.op, 3)
+    li, lb = _split_lane_ops(plan.h.op, lop, 3)
+    assert li is not None
+
+    kw = dict(out_dtype=jnp.uint8, out_max=255.0, order="vh",
+              interpret=True)
+    tc = lop.tile * 3
+
+    def compact(xj):
+        ob = apply_fused_pallas(
+            vop, lb, xj, "int8", "int8", compact_out=True, **kw
+        )
+        oi = apply_fused_pallas(
+            vop, li, xj, "int8", "int8", compact_out=True, **kw
+        )
+        return jnp.concatenate([ob[:, :tc], oi, ob[:, tc:]], axis=1)
+
+    x = xorshift128_fill((1536, 2048 * 3), np.uint8, 17)
+    xj = jnp.asarray(x)
+    single = np.asarray(
+        apply_fused_pallas(vop, lop, xj, "int8", "int8", **kw)
+    )
+    np.testing.assert_array_equal(np.asarray(compact(xj)), single)
+
+    # under a batch dimension (pre-pad: vmapped bodies can't pad)
+    x2 = xorshift128_fill((1536, 2048 * 3), np.uint8, 18)
+    need_r, need_l = vop.n_in_pad, lop.lanes_pad
+    batch = np.zeros((2, max(1536, need_r), max(2048 * 3, need_l)),
+                     np.uint8)
+    batch[0, :1536, : 2048 * 3] = x
+    batch[1, :1536, : 2048 * 3] = x2
+    outs = np.asarray(jax.vmap(compact)(jnp.asarray(batch)))
+    np.testing.assert_array_equal(outs[0], single)
+    single2 = np.asarray(
+        apply_fused_pallas(
+            vop, lop, jnp.asarray(batch[1]), "int8", "int8", **kw
+        )
+    )
+    np.testing.assert_array_equal(outs[1], single2)
+
+
+def test_executor_concat_split_engages():
+    """The batch-path executors (split_lanes=False) regain the lane
+    split via the concat assembly when modeled profitable
+    (VERDICT r2 item 3): engaged at the 8K headline geometry, and the
+    end-to-end vmapped output matches the single-image executor."""
+    from unittest import mock
+
+    import avir_tpu.models.runtime as rt
+
+    # Decision engages at the 8K downsize (both gamma and not).
+    for gamma in (False, True):
+        plan8k = build_resize_plan(
+            7680, 4320, 1920, 1080, 3, np.uint8, np.uint8,
+            use_srgb_gamma=gamma,
+        )
+        fn = rt.make_avir_executor(
+            plan8k, engine="pallas", split_lanes=False
+        )
+        assert fn.lane_split == "concat", gamma
+        fn1 = rt.make_avir_executor(plan8k, engine="pallas")
+        assert fn1.lane_split == "alias", gamma
+
+    # End-to-end parity at a CPU-sized geometry (force the decision —
+    # profitability is geometry-dependent, the plumbing is not).
+    plan = build_resize_plan(2048, 1536, 512, 384, 3, np.uint8, np.uint8)
+    with mock.patch.object(rt, "_concat_split_ok", lambda *a: True):
+        fn = rt.make_avir_executor(
+            plan, engine="pallas", split_lanes=False
+        )
+    assert fn.lane_split == "concat"
+    x = xorshift128_fill((1536, 2048 * 3), np.uint8, 29)
+    out_c = np.asarray(_interpret_executor(fn, plan, x))
+    fn_ref = rt.make_avir_executor(plan, engine="pallas")
+    out_a = np.asarray(_interpret_executor(fn_ref, plan, x))
+    np.testing.assert_array_equal(out_c, out_a)
+
+    # and composed under vmap — the property that motivated the
+    # concat assembly in the first place.
+    vm = jax.vmap(fn)
+    outs = _interpret_executor(vm, plan, np.stack([x, x]))
+    np.testing.assert_array_equal(np.asarray(outs)[0], out_c)
+
+
 def _interpret_executor(fn, plan, x):
     """Run the pallas-engine executor under interpret mode on CPU."""
     import jax.numpy as jnp
