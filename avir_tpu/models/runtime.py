@@ -28,7 +28,11 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.banded import BlockedBandedOp, apply_blocked, block_banded
-from ..ops.dither import default_dither_jnp, errdiff_dither_jnp
+from ..ops.dither import (
+    default_dither_jnp,
+    errdiff_dither_jnp,
+    errdiff_dither_wavefront_jnp,
+)
 from ..ops.gamma import linear_to_srgb_2d, srgb_to_linear_2d
 from ..plan.lancir_plan import LancirPlan
 from ..plan.plan import ResizePlan
@@ -246,6 +250,7 @@ def make_avir_executor(
     return_predither: bool = False,
     engine: str = "auto",
     split_lanes: bool = True,
+    errdiff_impl: str = "scan",
 ) -> Callable[[jax.Array], jax.Array]:
     """Compile a ResizePlan into a jitted [H, W, C] -> [new_h, new_w, C]
     resize function.
@@ -255,15 +260,18 @@ def make_avir_executor(
     the native error-diffusion scan, which is serial by nature — can
     finish the job (cf. the reference's single-threaded dither stage,
     avir.h:5047-5068)."""
-    hop = block_banded(plan.h.op, tile=tile)
-    vop = block_banded(plan.v.op, tile=tile)
+    in_bytes = 4 if plan.is_in_float else (
+        1 if plan.in_type_max == 255.0 else 2
+    )
+    hop = block_banded(plan.h.op, tile=tile, in_bytes=in_bytes)
+    vop = block_banded(plan.v.op, tile=tile, in_bytes=in_bytes)
     pallas = _use_pallas(engine)
     h, w, c = plan.src_h, plan.src_w, plan.el_count
     lop = None
     if pallas:
         from ..ops.lanes import lane_block_banded
 
-        lop = lane_block_banded(plan.h.op, c)
+        lop = lane_block_banded(plan.h.op, c, in_bytes=in_bytes)
     out_dt = _out_dtype(plan.is_out_float, plan.out_type_max)
 
     in_exact_bf16 = (
@@ -305,7 +313,8 @@ def make_avir_executor(
         if int8_ok:
             mode1 = mode2 = "int8"
         fused, forder = choose_fused(
-            vop, lop, mode1, mode2, plan.use_srgb_gamma, c
+            vop, lop, mode1, mode2, plan.use_srgb_gamma, c,
+            in_bytes=in_bytes,
         )
         if not fused and mode1 == "int8":
             mode1, mode2 = resolve_modes(precision, in_exact_bf16)
@@ -499,7 +508,12 @@ def make_avir_executor(
             if fuse_quant or plan.is_out_float or return_predither:
                 return x
             # errdiff-device on the (already gamma-corrected) float
-            x3 = errdiff_dither_jnp(
+            ed = (
+                errdiff_dither_wavefront_jnp
+                if errdiff_impl == "wavefront"
+                else errdiff_dither_jnp
+            )
+            x3 = ed(
                 x.reshape(vop.n_out, hop.n_out, c),
                 trunc_bits,
                 plan.out_type_max,
@@ -530,7 +544,12 @@ def make_avir_executor(
         if plan.is_out_float or return_predither:
             return x
         if errdiff:
-            x3 = errdiff_dither_jnp(
+            ed = (
+                errdiff_dither_wavefront_jnp
+                if errdiff_impl == "wavefront"
+                else errdiff_dither_jnp
+            )
+            x3 = ed(
                 x.reshape(vop.n_out, hop.n_out, c),
                 trunc_bits,
                 plan.out_type_max,
@@ -562,15 +581,16 @@ def make_lancir_executor(
     Output rounding is round-half-even, matching the reference's SIMD
     nearest-even conversions (/root/reference/lancir.h:1870-2002).
     """
-    hop = block_banded(plan.h, tile=tile)
-    vop = block_banded(plan.v, tile=tile)
+    in_bytes = plan.in_itemsize
+    hop = block_banded(plan.h, tile=tile, in_bytes=in_bytes)
+    vop = block_banded(plan.v, tile=tile, in_bytes=in_bytes)
     pallas = _use_pallas(engine)
     h, w, c = plan.src_h, plan.src_w, plan.el_count
     lop = None
     if pallas:
         from ..ops.lanes import lane_block_banded
 
-        lop = lane_block_banded(plan.h, c)
+        lop = lane_block_banded(plan.h, c, in_bytes=in_bytes)
     out_dt = _out_dtype(plan.is_out_float, plan.clamp)
 
     in_exact_bf16 = plan.in_exact_bf16
@@ -590,7 +610,7 @@ def make_lancir_executor(
         if int8_ok:
             mode1 = mode2 = "int8"
         fused, forder = choose_fused(
-            vop, lop, mode1, mode2, False, c
+            vop, lop, mode1, mode2, False, c, in_bytes=in_bytes
         )
         if not fused and mode1 == "int8":
             mode1, mode2 = resolve_modes(precision, in_exact_bf16)

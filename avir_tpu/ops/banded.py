@@ -57,7 +57,9 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def pick_tile(op: BandedOp, bytes_per_el: int = 2) -> int:
+def pick_tile(
+    op: BandedOp, bytes_per_el: int = 2, in_bytes: int = 1
+) -> int:
     """Choose the output tile size minimizing modeled kernel time.
 
     Cost model per input column: MXU MACs = n_blocks * tile * win
@@ -79,8 +81,12 @@ def pick_tile(op: BandedOp, bytes_per_el: int = 2) -> int:
         # kernel is DMA-bound on its small strided windows/tiles, and
         # tile=256 amortizes the per-cell fetch best (4K->8K 1.387 ms
         # vs 1.47 at 128 / 1.60 at 192, with the wide lane tile of
-        # ops/lanes.py:pick_lane_tile).
-        return 256
+        # ops/lanes.py:pick_lane_tile).  For 2/4-byte inputs (u16 /
+        # float, split-bf16 MAC-bound rather than DMA-bound) tile=128
+        # measured best and keeps the fused kernel inside VMEM
+        # (tools/probe_u16_tiles.py: 4K->8K u16 RGBA gamma 4.31 ms at
+        # vt=128 vs 4.54 at vt=256 / 4.63 at vt=64).
+        return 256 if in_bytes <= 1 else 128
     best, best_cost = 64, None
     for tile in (64, 128, 256, 512):
         win = _round_up(int(math.ceil(tile * k)) + op.width + 8, 128)
@@ -134,6 +140,7 @@ def block_banded(
     tile: int | None = None,
     lane_align: int = 128,
     uniform: bool = False,
+    in_bytes: int = 1,
 ) -> BlockedBandedOp:
     """Lower a BandedOp to its blocked dense-matmul form.
 
@@ -146,7 +153,7 @@ def block_banded(
     expressed in the padded coordinates.  Raises ValueError when the
     plan's stride pattern is not uniform (non-constant-k)."""
     if tile is None:
-        tile = pick_tile(op)
+        tile = pick_tile(op, in_bytes=in_bytes)
     n_out, width = op.n_out, op.width
     n_blocks = -(-n_out // tile)
 

@@ -90,3 +90,72 @@ def errdiff_dither_jnp(
 
     _, out = jax.lax.scan(row_step, jnp.zeros((w, c), img.dtype), img)
     return out
+
+
+def errdiff_dither_wavefront_jnp(
+    img: jax.Array, trunc_bits: int, out_max: float
+) -> jax.Array:
+    """Anti-diagonal WAVEFRONT formulation of the error-diffusion
+    recurrence — same weights and scan-order dependency structure as
+    ``errdiff_dither_jnp``, restructured for the VPU.
+
+    Pixel (y, x) depends on (y, x-1), (y-1, x-1), (y-1, x), and
+    (y-1, x+1); along the anti-diagonal index t = 2y + x those sources
+    live at t-1, t-3, t-2, and t-1 — so ALL pixels on one diagonal are
+    mutually independent and the image quantizes in W + 2H - 2 scan
+    steps of [H, C]-vector work instead of H*W sequential pixel steps
+    (the nested-scan variant above).  The skewed buffer costs
+    ~(W + 2H) * H * C floats of HBM — fine up to 8K on a 16 GB chip.
+
+    Exactness: the diffusion sums are reassociated (one fused sum per
+    pixel instead of the serial carry accumulation), so results can
+    differ from the sequential formulation by float-rounding of the
+    diffused noise — bounded well under 1 output LSB; tests gate both
+    variants against the f64 host oracle at <= 1 LSB."""
+    h, w, c = img.shape
+    tm = jnp.float32(trunc_mul(trunc_bits, out_max))
+    tmi = jnp.float32(1.0) / tm
+    out_max = jnp.float32(out_max)
+    T = 2 * (h - 1) + w
+
+    # Skew: S[t, y] = img[y, t - 2y] (invalid cells zero).
+    shifts = 2 * jnp.arange(h)
+    padded = jnp.pad(img, ((0, 0), (0, T - w), (0, 0)))
+    rolled = jax.vmap(lambda row, s: jnp.roll(row, s, axis=0))(
+        padded, shifts
+    )
+    S = rolled.transpose(1, 0, 2)  # [T, h, c]
+    tt = jnp.arange(T)[:, None]
+    yy = jnp.arange(h)[None, :]
+    x_of = tt - 2 * yy
+    M = (x_of >= 0) & (x_of < w)  # [T, h] validity
+
+    def down(a):  # y -> y-1 alignment (row y reads row y-1's noise)
+        return jnp.concatenate(
+            [jnp.zeros((1, c), a.dtype), a[:-1]], axis=0
+        )
+
+    def step(carry, inp):
+        n1, n2, n3 = carry  # noise at t-1, t-2, t-3: [h, c]
+        s_t, m_t = inp
+        cur = (
+            s_t
+            + W_CUR_RIGHT * n1          # (y, x-1)
+            + W_NEXT_LEFT * down(n1)    # (y-1, x+1)
+            + W_NEXT_CENTER * down(n2)  # (y-1, x)
+            + W_NEXT_RIGHT * down(n3)   # (y-1, x-1)
+        )
+        z0 = round_biased(cur * tmi) * tm
+        # Out-of-image cells must contribute ZERO noise (the reference
+        # discards diffusion past the row ends, avir.h:4504-4524).
+        noise = jnp.where(m_t[:, None], cur - z0, 0.0)
+        return (noise, n1, n2), jnp.clip(z0, 0.0, out_max)
+
+    zero = jnp.zeros((h, c), img.dtype)
+    _, O = jax.lax.scan(step, (zero, zero, zero), (S, M))
+    # Unskew: out[y, x] = O[2y + x, y].
+    Ot = O.transpose(1, 0, 2)  # [h, T, c]
+    out = jax.vmap(lambda row, s: jnp.roll(row, -s, axis=0))(
+        Ot, shifts
+    )
+    return out[:, :w]

@@ -91,7 +91,47 @@ class LaneBlockedOp:
         return self.offs_l.shape[0]
 
 
-def pick_lane_tile(op: BandedOp, c: int, wide: bool = True) -> int:
+def lane_chunk_geometry(
+    op: BandedOp, c: int, tile: int
+) -> tuple[int, int, int]:
+    """(win_l, win_c, n_ch) of the lane form at ``tile``, computed
+    from starts/width alone — no dense tap materialization.  Used by
+    the tile picker: the chunk window win_c (hence H MACs and the
+    chunked-tap VMEM) depends strongly on the tile's phase relative to
+    the resize ratio, so candidate tiles must be compared before
+    building the operator."""
+    n_out, width = op.n_out, op.width
+    n_blocks = -(-n_out // tile)
+    starts = op.starts.astype(np.int64)
+    offs_l = np.empty(n_blocks, dtype=np.int64)
+    spans = np.empty(n_blocks, dtype=np.int64)
+    for b in range(n_blocks):
+        lo = b * tile
+        hi = min(lo + tile, n_out)
+        offs_l[b] = (starts[lo] * c // 128) * 128
+        spans[b] = (starts[hi - 1] + width) * c - offs_l[b]
+    win_l = _round_up(int(spans.max()), 128)
+    n_ch = (tile * c) // 128
+    if n_ch <= 1 or (tile * c) % 128:
+        return win_l, 0, n_ch
+    rel = np.full(n_ch, np.iinfo(np.int64).max)
+    ends = np.zeros(n_ch, dtype=np.int64)
+    for b in range(n_blocks):
+        lo = b * tile
+        for j in range(n_ch):
+            p0 = min((lo * c + j * 128) // c, n_out - 1)
+            p1 = min((lo * c + j * 128 + 127) // c, n_out - 1)
+            s = starts[p0] * c - offs_l[b]
+            e = (starts[p1] + width) * c - offs_l[b]
+            rel[j] = min(rel[j], (s // 128) * 128)
+            ends[j] = max(ends[j], e)
+    win_c = _round_up(int((ends - rel).max()), 128)
+    return win_l, min(win_c, win_l), n_ch
+
+
+def pick_lane_tile(
+    op: BandedOp, c: int, wide: bool = True, in_bytes: int = 1
+) -> int:
     """Default output-pixels-per-block for the lane form.
 
     Downsizing keeps the small default (window rows are already long —
@@ -117,12 +157,51 @@ def pick_lane_tile(op: BandedOp, c: int, wide: bool = True) -> int:
     k = (op.starts[-1] - op.starts[0]) / (n_out - 1)
     if k >= 1.0 or n_out * c < 4096:
         return base
-    return step * max(1, -(-2304 // (step * c)))
+    if in_bytes <= 1:
+        return step * max(1, -(-2304 // (step * c)))
+    # 2/4-byte inputs (u16 / float): the split-bf16 upsize kernel is
+    # MAC-bound on the chunked H window, and win_c swings wildly with
+    # the tile's phase against the resize ratio (measured 4K->8K u16
+    # RGBA: tile 576 px -> win_c 1280, Mosaic OOM; 768 px -> win_c 512,
+    # 4.31 ms; tools/probe_u16_tiles.py).  Scan DMA-saturating
+    # candidates (>= 2304 bytes of output row per block) and take the
+    # one minimizing modeled H MACs + tap VMEM.
+    lo_px = max(base, step * -(-2304 // (step * c * in_bytes)))
+    # Descending: near-ties resolve to the LARGER tile (fewer blocks =
+    # less window-overlap DMA, the measured winner at equal win_c).
+    cands = sorted(
+        {step * -(-px // step) for px in (lo_px, 384, 512, 768, 1024)},
+        reverse=True,
+    )
+    best, best_cost = None, None
+    for t in cands:
+        if t < lo_px or t * c % 128:
+            continue
+        win_l, win_c, n_ch = lane_chunk_geometry(op, c, t)
+        if win_c == 0:
+            win_c = win_l
+        tap_bytes = n_ch * win_c * 128 * 2 * 2  # bf16 hi/lo
+        if tap_bytes > 8 * 1024 * 1024:
+            continue  # chunked taps would blow the fused-kernel VMEM
+        blocks = -(-n_out // t)
+        # Per-input-row cost in MAC-equivalents: chunked H MACs
+        # (x1.5 for the split3 residual pass amortization) plus the
+        # window-overlap DMA at ~120 MACs/byte (pick_tile's measured
+        # v5e peak-MAC/HBM ratio).  Reproduces the measured ordering
+        # 768 px (4.31 ms) < 384 px (4.48) < 1152 px (OOM) at the
+        # 4K->8K u16 RGBA config.
+        cost = blocks * (
+            n_ch * win_c * 128 * 3 // 2 + win_l * in_bytes * 120
+        )
+        if best_cost is None or cost < best_cost * 0.98:
+            best, best_cost = t, cost
+    return best if best is not None else base
 
 
 def lane_block_banded(
     op: BandedOp, c: int, tile: int | None = None,
     block_list: list[int] | None = None,
+    in_bytes: int = 1,
 ) -> LaneBlockedOp:
     """Build the lane-side blocked form.
 
@@ -141,7 +220,7 @@ def lane_block_banded(
     win_c; ``out_idx`` records each subset block's original column."""
     step = 128 // int(np.gcd(c, 128))
     if tile is None:
-        tile = pick_lane_tile(op, c)
+        tile = pick_lane_tile(op, c, in_bytes=in_bytes)
     n_out, width = op.n_out, op.width
     n_blocks = -(-n_out // tile)
     starts = op.starts.astype(np.int64)

@@ -612,6 +612,7 @@ def choose_fused(
     mode2: str,
     gamma: bool,
     c: int,
+    in_bytes: int = 1,
 ) -> tuple[bool, str]:
     """(use_fused, order): route between the fused two-pass kernel and
     the two-kernel pipeline (_separable_pass_lanes).
@@ -663,7 +664,31 @@ def choose_fused(
         )
         return use, order
     if downsize:
-        return fused_viable(vop, lop, "vh"), "vh"
+        return fused_viable(vop, lop, "vh", in_bytes=in_bytes), "vh"
+    if in_bytes >= 2:
+        # 2/4-byte (u16 / float) upsizes: fused V-first measured
+        # fastest at the byte-aware tiles (pick_tile/pick_lane_tile —
+        # vt=128, win_c-minimizing lane tile), gamma included
+        # (tools/probe_u16_tiles.py, 4K->8K on v5e):
+        #
+        #   config                  unfused  fused-vh  fused-hv
+        #   u16 RGBA gamma            5.90      4.31      5.27
+        #   u16 RGBA                  5.31      3.47      3.64
+        #   (+ interior/boundary lane split on top: see the r3
+        #    perf_analysis 16-bit section)
+        #
+        # The unfused route loses to the f32 intermediate's HBM round
+        # trips plus the XLA-materialized gamma passes; H-first loses
+        # because the raw-input H pass runs split3 over the window
+        # overlap.  The H-tap VMEM check uses single buffering
+        # (h_tap_buffers=1): the taps are indexed by the OUTER grid
+        # dim only, so Mosaic does not double-buffer them per vb step
+        # (calibrated against measured compile successes/failures at
+        # lt=768/576/1152).
+        use = fused_viable(
+            vop, lop, "vh", in_bytes=in_bytes, h_tap_buffers=1
+        )
+        return use, "vh"
     big = vop.n_out * lop.n_out * c >= 8_000_000
     use = (
         mode1 == "split2" and not gamma and big
@@ -729,6 +754,7 @@ def fused_viable(
     order: str = "vh",
     in_bytes: int = 1,
     int8: bool = False,
+    h_tap_buffers: int = 2,
 ) -> bool:
     """Rough VMEM-budget check for the fused kernel's block shapes.
 
@@ -749,7 +775,7 @@ def fused_viable(
         2 * Wv * WC * in_bytes  # double-buffered input window
         + 4 * Wv * WC          # f32 conversion temp
         + 2 * 2 * Tv * Wv * tap_b  # V taps hi/lo, double-buffered
-        + 2 * 2 * h_tap_el * tap_b  # H taps hi/lo, double-buffered
+        + h_tap_buffers * 2 * h_tap_el * tap_b  # H taps hi/lo
         + 4 * inter            # inter-pass f32 intermediate
         + 2 * 4 * Tv * TC      # output tiles
     )

@@ -1,0 +1,178 @@
+"""Analytic pod-scaling model for the sharded executors.
+
+Only one real chip is reachable from this rig, so pod-scale efficiency
+cannot be measured directly; this module predicts it from quantities
+that CAN be measured or derived here (BASELINE north star: ">= 0.8
+scaling efficiency at N >= 2 hosts"):
+
+  - the plan's exact halo traffic (``shard_v_blocked``: halo_lo/halo_hi
+    rows x row bytes, exchanged with each neighbor by one ``ppermute``
+    per direction — disjoint ICI links, so the two directions overlap);
+  - the measured single-chip kernel time for the config (bench.py /
+    tools/probe_*.py, or any caller-supplied number);
+  - the interior/border block split (``b_int0``/``b_int1``): interior
+    compute is issued before the collectives' results are consumed
+    (parallel/sharded.py:_pallas_strip_fn), so halo time is EXPOSED
+    only beyond the interior blocks' compute;
+  - link constants of the target fabric (defaults: TPU v5e ICI,
+    DCN for the cross-host dp axis).
+
+Model per mesh size n (row-strip axis sp):
+
+  t_comp(n)  = t_chip * (blocks_n / blocks_1) / n + t_dispatch * calls
+  t_halo(n)  = lat_ici + max(halo_lo, halo_hi) * row_bytes / bw_ici
+  t_exposed  = max(0, t_halo - t_interior)         # overlap credit
+  t_step(n)  = t_comp(n) + t_exposed
+  eff(n)     = t_chip / (n * t_step(n))
+
+The dp (batch) axis adds NO steady-state communication — each host
+resizes its own batch elements; DCN is touched only by dispatch/result
+transport outside the step — so cross-host efficiency at fixed
+per-host work is the sp efficiency computed here (the reference's
+thread pool has the same property across threads, avir.h:3556-3623).
+
+The same model with CPU-host constants is validated against the
+measured 8-device CPU mesh in tools/scaling_bench.py; see
+docs/scaling.md for the published table.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+# --- fabric constants (documented assumptions, overridable) -----------
+# TPU v5e ICI: 2-D torus, one link per direction per axis; ~45 GB/s
+# each way per link with ~1 us software-visible latency.  The sp axis
+# is laid out along one torus dimension so halo ppermutes ride single
+# ICI hops.  DCN (cross-host): ~25 GB/s/host, ~10 us — used only by
+# the dp axis, which exchanges nothing during a step.
+V5E_ICI_BW = 45e9
+V5E_ICI_LAT = 1e-6
+DCN_BW = 25e9
+DCN_LAT = 10e-6
+# Per-kernel-call dispatch/tail overhead (Pallas grid ramp-up/down);
+# the strip body issues up to 3 fused-kernel calls (border lo /
+# interior / border hi).
+T_DISPATCH = 5e-6
+
+
+@dataclasses.dataclass
+class ScalePoint:
+    n_dev: int
+    strip_rows: int
+    halo_rows: int          # max one-direction halo rows
+    halo_bytes: int         # bytes ppermuted per device per direction
+    t_comp_us: float
+    t_halo_us: float
+    t_interior_us: float
+    t_exposed_us: float
+    t_step_us: float
+    efficiency: float
+    all_gather: bool
+
+
+def model_scaling(
+    plan,
+    t_chip_s: float,
+    n_devs=(2, 4, 8, 16, 32),
+    *,
+    bw=V5E_ICI_BW,
+    lat=V5E_ICI_LAT,
+    t_dispatch=T_DISPATCH,
+    in_itemsize: int | None = None,
+    cores: int | None = None,
+) -> list[ScalePoint]:
+    """Predict row-strip scaling efficiency for ``plan`` from the
+    measured single-chip step time ``t_chip_s``.
+
+    ``plan`` needs only ``.v.op`` / ``.src_h`` / ``.src_w`` /
+    ``.el_count`` and an input dtype (AVIR ResizePlan and LancirPlan
+    both qualify via the thin adapters below).
+
+    ``cores`` caps the compute parallelism (virtual-device CPU meshes
+    timeshare physical cores: n devices on c cores speed compute up by
+    min(n, c), while halo traffic still scales with n — the regime
+    tools/scaling_bench.py validates the model in)."""
+    from .sharded import shard_v_blocked
+
+    v_op = plan.v.op if hasattr(plan, "v") and hasattr(plan.v, "op") \
+        else plan.v
+    h = plan.src_h
+    c = plan.el_count
+    if in_itemsize is None:
+        in_itemsize = 1 if getattr(plan, "in_type_max", 255.0) == 255.0 \
+            else 2
+    row_bytes = plan.src_w * c * in_itemsize
+
+    out = []
+    for n in n_devs:
+        padded_h = h + ((-h) % n)
+        sv = shard_v_blocked(v_op, n, padded_h)
+        blocks_n = sv.taps.shape[1]
+        blocks_1 = -(-v_op.n_out // sv.tile)  # single-chip block count
+        # Per-device compute: the measured chip time scaled by the
+        # share of output-row blocks each device runs (block count,
+        # not raw rows — padding blocks cost full tiles), plus
+        # dispatch overhead for the up-to-3 strip kernel calls.
+        work_ratio = blocks_n * n / max(blocks_1, 1)
+        calls = 1 if sv.b_int1 <= sv.b_int0 else (
+            1 + (1 if sv.b_int0 > 0 else 0)
+            + (1 if sv.b_int1 < blocks_n else 0)
+        )
+        par = n if cores is None else min(n, cores)
+        t_comp = t_chip_s * work_ratio / par + t_dispatch * calls
+        if sv.use_all_gather:
+            # Fallback: the whole (H-passed) image all-gathers; no
+            # overlap.  bytes ~ (n-1)/n of the f32 intermediate.
+            ag_bytes = int(
+                (n - 1) / n * v_op.n_in
+                * getattr(plan, "new_w", plan.src_w) * c * 4
+            )
+            t_halo = lat * int(np.ceil(np.log2(n))) + ag_bytes / bw
+            t_int = 0.0
+        else:
+            halo = max(sv.halo_lo, sv.halo_hi)
+            t_halo = lat + halo * row_bytes / bw
+            n_int = max(sv.b_int1 - sv.b_int0, 0)
+            t_int = (
+                t_chip_s * (n_int * n / max(blocks_1, 1)) / par
+            )
+        t_exposed = max(0.0, t_halo - t_int)
+        t_step = t_comp + t_exposed
+        out.append(
+            ScalePoint(
+                n_dev=n,
+                strip_rows=sv.strip,
+                halo_rows=0 if sv.use_all_gather
+                else max(sv.halo_lo, sv.halo_hi),
+                halo_bytes=0 if sv.use_all_gather
+                else max(sv.halo_lo, sv.halo_hi) * row_bytes,
+                t_comp_us=t_comp * 1e6,
+                t_halo_us=t_halo * 1e6,
+                t_interior_us=t_int * 1e6,
+                t_exposed_us=t_exposed * 1e6,
+                t_step_us=t_step * 1e6,
+                efficiency=t_chip_s / (n * t_step),
+                all_gather=sv.use_all_gather,
+            )
+        )
+    return out
+
+
+def format_table(points: list[ScalePoint]) -> str:
+    lines = [
+        "  n  strip  halo(rows/KB)  comp(us)  halo(us)  exposed  "
+        "step(us)   eff",
+    ]
+    for p in points:
+        lines.append(
+            f"{p.n_dev:3d}  {p.strip_rows:5d}  "
+            f"{p.halo_rows:4d}/{p.halo_bytes / 1024:7.1f}  "
+            f"{p.t_comp_us:8.1f}  {p.t_halo_us:8.2f}  "
+            f"{p.t_exposed_us:7.2f}  {p.t_step_us:8.1f}  "
+            f"{p.efficiency:5.2f}"
+            + ("  [all-gather]" if p.all_gather else "")
+        )
+    return "\n".join(lines)

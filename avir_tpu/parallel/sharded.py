@@ -673,7 +673,10 @@ def make_sharded_avir_executor(
         svb = shard_v_blocked(
             plan.v.op, n_dev, padded_h, tile=pallas_tile
         )
-        lop = lane_block_banded(plan.h.op, c)
+        in_b = 4 if plan.is_in_float else (
+            1 if plan.in_type_max == 255.0 else 2
+        )
+        lop = lane_block_banded(plan.h.op, c, in_bytes=in_b)
         offs_c = jnp.asarray(svb.offs)
         taps_c = jnp.asarray(svb.taps)
         ext_rows = max(
@@ -885,7 +888,7 @@ def make_sharded_lancir_executor(
         svb = shard_v_blocked(
             plan.v, n_dev, padded_h, tile=pallas_tile
         )
-        lop = lane_block_banded(plan.h, c)
+        lop = lane_block_banded(plan.h, c, in_bytes=plan.in_itemsize)
         offs_c = jnp.asarray(svb.offs)
         taps_c = jnp.asarray(svb.taps)
         ext_rows = max(

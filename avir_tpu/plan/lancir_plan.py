@@ -32,6 +32,7 @@ class LancirPlan:
     out_mul: float
     clamp: float
     in_exact_bf16: bool  # input values exactly representable in bf16
+    in_itemsize: int = 1  # input element bytes (tile/VMEM shaping)
 
 
 def _axis_op(src_len: int, new_len: int, k: float, o: float, la: float) -> BandedOp:
@@ -100,6 +101,7 @@ def build_lancir_plan(
 
     return LancirPlan(
         in_exact_bf16=(not is_in_float) and in_dtype.itemsize == 1,
+        in_itemsize=4 if is_in_float else in_dtype.itemsize,
         h=_axis_op(src_w, new_w, kx, ox, la),
         v=_axis_op(src_h, new_h, ky, oy, la),
         src_w=src_w,

