@@ -763,6 +763,24 @@ def fused_viable(
     block, ops/lanes.py) rather than the dense [WC, TC] matrix — the
     difference decides viability for wide-lane upsize tiles."""
     Bv, Tv, Wv = vop.taps_hi.shape
+    return fused_viable_shapes(
+        Tv, Wv, lop, order, in_bytes=in_bytes, int8=int8,
+        h_tap_buffers=h_tap_buffers,
+    )
+
+
+def fused_viable_shapes(
+    Tv: int,
+    Wv: int,
+    lop: LaneBlockedOp,
+    order: str = "vh",
+    in_bytes: int = 1,
+    int8: bool = False,
+    h_tap_buffers: int = 2,
+) -> bool:
+    """Shape-based core of ``fused_viable`` — usable before a vertical
+    operator exists (e.g. the sharded strip route, whose per-strip V
+    blocks are built inside the traced body)."""
     Bh, WC, TC = lop.taps_hi.shape
     inter = Tv * WC if order == "vh" else Wv * TC
     tap_b = 1 if int8 else 2

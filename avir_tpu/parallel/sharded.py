@@ -211,7 +211,8 @@ def shard_v_op(
 
 
 def shard_v_blocked(
-    op: BandedOp, n_dev: int, padded_h: int, tile: int | None = None
+    op: BandedOp, n_dev: int, padded_h: int, tile: int | None = None,
+    in_bytes: int = 1,
 ) -> ShardedVOp:
     """Like ``shard_v_op`` but with 32-row-aligned local window starts,
     matching the alignment contract of the Pallas kernels
@@ -221,7 +222,7 @@ def shard_v_blocked(
     from ..ops.banded import pick_tile
 
     if tile is None:
-        tile = pick_tile(op)
+        tile = pick_tile(op, in_bytes=in_bytes)
     base_sv = shard_v_op(op, n_dev, padded_h, tile=tile)
     if base_sv.use_all_gather:
         return base_sv
@@ -668,15 +669,33 @@ def make_sharded_avir_executor(
     )
     if pallas_strips:
         from ..ops.lanes import lane_block_banded
-        from ..ops.pallas.fused_kernel import apply_fused_pallas
-
-        svb = shard_v_blocked(
-            plan.v.op, n_dev, padded_h, tile=pallas_tile
+        from ..ops.pallas.fused_kernel import (
+            apply_fused_pallas,
+            fused_viable_shapes,
         )
+
         in_b = 4 if plan.is_in_float else (
             1 if plan.in_type_max == 255.0 else 2
         )
+        svb = shard_v_blocked(
+            plan.v.op, n_dev, padded_h, tile=pallas_tile,
+            in_bytes=in_b,
+        )
         lop = lane_block_banded(plan.h.op, c, in_bytes=in_b)
+        # VMEM viability of the per-strip fused kernel (the single-chip
+        # executors route through choose_fused; the strip route must
+        # gate itself or 2/4-byte configs can fail Mosaic compilation).
+        # interpret mode has no VMEM limit (CPU-mesh tests).
+        if not interpret and not fused_viable_shapes(
+            svb.tile, svb.win, lop, "vh", in_bytes=in_b,
+            h_tap_buffers=1,
+        ):
+            logger.debug(
+                "sharded pallas strips not VMEM-viable for this "
+                "config; falling back to the XLA route"
+            )
+            pallas_strips = False
+    if pallas_strips:
         offs_c = jnp.asarray(svb.offs)
         taps_c = jnp.asarray(svb.taps)
         ext_rows = max(
@@ -883,12 +902,26 @@ def make_sharded_lancir_executor(
     )
     if pallas_strips:
         from ..ops.lanes import lane_block_banded
-        from ..ops.pallas.fused_kernel import int8_feasible
+        from ..ops.pallas.fused_kernel import (
+            fused_viable_shapes,
+            int8_feasible,
+        )
 
         svb = shard_v_blocked(
-            plan.v, n_dev, padded_h, tile=pallas_tile
+            plan.v, n_dev, padded_h, tile=pallas_tile,
+            in_bytes=plan.in_itemsize,
         )
         lop = lane_block_banded(plan.h, c, in_bytes=plan.in_itemsize)
+        if not interpret and not fused_viable_shapes(
+            svb.tile, svb.win, lop, "vh",
+            in_bytes=plan.in_itemsize, h_tap_buffers=1,
+        ):
+            logger.debug(
+                "sharded LANCIR pallas strips not VMEM-viable; "
+                "falling back to the XLA route"
+            )
+            pallas_strips = False
+    if pallas_strips:
         offs_c = jnp.asarray(svb.offs)
         taps_c = jnp.asarray(svb.taps)
         ext_rows = max(
