@@ -18,6 +18,17 @@ from ..utils.excache import ExecutorCache
 from .runtime import make_avir_executor
 
 
+# "errdiff" auto-route crossover (output pixels).  Measured on v5e
+# (tools/probe_errdiff.py): the anti-diagonal wavefront scan wins at
+# EVERY size — VGA 1.65 ms vs 8.2 ms of host scan alone (+ transfer),
+# 1080p 13.1 vs 48.8 (+1.5 s tunnel / ~3 ms PCIe transfer), 4K 51.5
+# vs 198.5 — and keeps the result on device, so the crossover is 0:
+# "errdiff" always routes to the wavefront on device engines.  The
+# native host scan remains the engine="host" / precision="f64" path
+# (and the semantics oracle the wavefront is tested against).
+_ERRDIFF_WAVEFRONT_MIN_PX = 0
+
+
 def _host_executor(plan, sh, sw, ch, dither, rnd_seed=0):
     """Float64 host-oracle executor (the public precision="f64" /
     engine="host" route): NumPy double-precision compute end to end,
@@ -112,10 +123,13 @@ class ImageResizer:
         with centering; <0 = |k| without centering (avir.h:4709-4736).
         ``ox``/``oy``: sub-pixel shift in source pixels.
         ``dither``: "default" (round+clamp), "errdiff" (error
-        diffusion, device pipeline + native host scan),
-        "errdiff-device" (fully on-device lax.scan version; slow for
+        diffusion, auto-routed by output size between the native host
+        scan and the on-device anti-diagonal wavefront scan — see
+        _ERRDIFF_WAVEFRONT_MIN_PX), "errdiff-device" (sequential
+        nested lax.scan, exact scan-order float semantics; slow for
         large images — the recurrence is serial, as in the reference's
-        single-threaded dither stage, avir.h:5047-5068), or a CUSTOM
+        single-threaded dither stage, avir.h:5047-5068),
+        "errdiff-wavefront" (force the wavefront scan), or a CUSTOM
         CALLABLE ``fn(img, trunc_bits, out_max, rnd_seed) -> array``
         — the extension slot the reference exposes as the fpclass
         ditherer template parameter (avir.h:4569-4592): ``img`` is the
@@ -166,7 +180,23 @@ class ImageResizer:
             os.environ.get("AVIR_TPU_GAMMA_ROUTE", "auto"),
         )
 
-        host_errdiff = dither == "errdiff" and out_dtype.kind != "f"
+        # Error-diffusion routing (measured, tools/probe_errdiff.py):
+        # "errdiff" auto-routes between the native host scan (after a
+        # device->host transfer of the f32 pre-dither image) and the
+        # on-device anti-diagonal WAVEFRONT scan (ops/dither.py) by
+        # output size; "errdiff-device" keeps the sequential nested
+        # scan (exact scan-order float semantics); "errdiff-wavefront"
+        # forces the wavefront.
+        wavefront = dither == "errdiff-wavefront" or (
+            dither == "errdiff"
+            and out_dtype.kind != "f"
+            and new_w * new_h >= _ERRDIFF_WAVEFRONT_MIN_PX
+        )
+        host_errdiff = (
+            dither == "errdiff"
+            and not wavefront
+            and out_dtype.kind != "f"
+        )
 
         def build():
             plan_kwargs = dict(
@@ -192,7 +222,8 @@ class ImageResizer:
             use_custom = custom_dither and out_dtype.kind != "f"
             fn = make_avir_executor(
                 plan,
-                errdiff=(dither == "errdiff-device"),
+                errdiff=(dither == "errdiff-device") or wavefront,
+                errdiff_impl="wavefront" if wavefront else "scan",
                 precision=precision,
                 return_predither=host_errdiff or use_custom,
                 engine=engine,

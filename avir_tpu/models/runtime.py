@@ -124,7 +124,12 @@ def _concat_split_ok(
         * out_itemsize
     )
     copy_s = 2 * out_bytes / 600e9
-    return save_s > copy_s
+    # ~5 us margin for the second kernel call's dispatch/ramp —
+    # calibrated on v5e (tools/probe_batch_split.py): 2x 8K->1080p
+    # measured +6.3% with the split (model net +7 us), 4x 4K->720p a
+    # wash (model net +2.3 us); the margin keeps the former and drops
+    # the latter.
+    return save_s > copy_s + 5e-6
 
 
 def _use_pallas(engine: str) -> bool:
@@ -566,6 +571,7 @@ def make_avir_executor(
             "alias" if lop_int is not None else None
         )
     )
+    run.errdiff_impl = errdiff_impl if errdiff else None
     return run
 
 

@@ -50,3 +50,33 @@ def test_wavefront_u16():
     )
     oracle = np_errdiff(img.astype(np.float64), 0, 65535.0)
     assert np.abs(wav - oracle).max() <= 1.0
+
+
+def test_errdiff_auto_routing_and_parity(monkeypatch):
+    """dither="errdiff" auto-routes by output size (host scan below
+    the crossover, wavefront above); all three device/host variants
+    agree within one quantization step."""
+    import avir_tpu.models.avir as av
+    from avir_tpu import ImageResizer
+
+    rng = np.random.default_rng(9)
+    src = rng.integers(0, 256, (96, 128, 3), dtype=np.uint8)
+    rz = ImageResizer()
+    host = rz.resize(src, 64, 48, dither="errdiff")  # below crossover
+    wav = rz.resize(src, 64, 48, dither="errdiff-wavefront")
+    seq = rz.resize(src, 64, 48, dither="errdiff-device")
+    assert np.abs(wav.astype(int) - seq.astype(int)).max() <= 1
+    assert np.abs(wav.astype(int) - host.astype(int)).max() <= 1
+
+    # Force the crossover low: "errdiff" must now build the wavefront
+    # executor (observable via the errdiff_impl attribute).
+    monkeypatch.setattr(av, "_ERRDIFF_WAVEFRONT_MIN_PX", 1)
+    rz2 = ImageResizer()
+    out = rz2.resize(src, 64, 48, dither="errdiff")
+    np.testing.assert_array_equal(out, wav)
+    from avir_tpu.models.runtime import make_avir_executor
+    from avir_tpu.plan.plan import build_resize_plan
+
+    plan = build_resize_plan(128, 96, 64, 48, 3, np.uint8, np.uint8)
+    fn = make_avir_executor(plan, errdiff=True, errdiff_impl="wavefront")
+    assert fn.errdiff_impl == "wavefront"
