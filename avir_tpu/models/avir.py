@@ -299,18 +299,17 @@ class ImageResizer:
         """Resize a batch [N, H, W, C] of same-shape images in one
         device program (vmapped pipeline) — the serving-path analog of
         the reference's per-call reuse for video batching
-        (lancir.h:319-324).  Error-diffusion dithering falls back to
-        per-image host scans."""
+        (lancir.h:319-324).  Error diffusion stays ON DEVICE via the
+        vmapped anti-diagonal wavefront scan (ops/dither.py); only
+        custom-callable ditherers (host code) run per image."""
         import jax
 
         batch = np.asarray(batch)
         if batch.ndim != 4:
             raise ValueError("batch must be [N, H, W, C]")
         n, sh, sw, ch = batch.shape
-        if kwargs.get("dither") == "errdiff" or callable(
-            kwargs.get("dither")
-        ):
-            # host-finished dither stages run per image
+        if callable(kwargs.get("dither")):
+            # host custom-ditherer stages run per image
             return np.stack(
                 [self.resize(im, new_w, new_h, **kwargs) for im in batch]
             )
@@ -363,9 +362,19 @@ class ImageResizer:
             alpha_index=kwargs.get("alpha_index", -1),
             build_mode=kwargs.get("build_mode", -1),
         )
+        dither = kwargs.get("dither", "default")
         return make_avir_executor(
             plan, precision=kwargs.get("precision", "auto"),
             engine=kwargs.get("engine", "auto"),
+            # in-graph error diffusion: "errdiff" batches via the
+            # vmappable wavefront scan (the auto-route winner at every
+            # size, tools/probe_errdiff.py)
+            errdiff=dither in (
+                "errdiff", "errdiff-device", "errdiff-wavefront"
+            ),
+            errdiff_impl=(
+                "scan" if dither == "errdiff-device" else "wavefront"
+            ),
             # vmapped below: the aliased out_init assembly can't
             # carry a batch dim — split_lanes=False selects the
             # vmap-safe compact+concat lane split when profitable

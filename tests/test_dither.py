@@ -80,3 +80,19 @@ def test_errdiff_auto_routing_and_parity(monkeypatch):
     plan = build_resize_plan(128, 96, 64, 48, 3, np.uint8, np.uint8)
     fn = make_avir_executor(plan, errdiff=True, errdiff_impl="wavefront")
     assert fn.errdiff_impl == "wavefront"
+
+
+def test_resize_batch_errdiff_on_device():
+    """resize_batch keeps error diffusion ON DEVICE (vmapped wavefront
+    scan) instead of falling back to per-image host scans; each batch
+    element matches the single-image result within one step."""
+    from avir_tpu import ImageResizer
+
+    rng = np.random.default_rng(41)
+    b = rng.integers(0, 256, (3, 64, 48, 3), dtype=np.uint8)
+    rz = ImageResizer()
+    out = rz.resize_batch(b, 24, 32, dither="errdiff")
+    assert out.shape == (3, 32, 24, 3)
+    for i in range(3):
+        single = rz.resize(b[i], 24, 32, dither="errdiff")
+        assert np.abs(out[i].astype(int) - single.astype(int)).max() <= 1

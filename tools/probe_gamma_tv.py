@@ -41,9 +41,15 @@ def main():
         d = jax.device_put(src)
         res = {}
         base = None
-        for tv in (None, 128, 192):
-            fn = make_avir_executor(plan, tile=tv)
-            out = np.asarray(fn(d))
+        for tv in (None, 96, 128, 192):
+            try:
+                fn = make_avir_executor(plan, tile=tv)
+                out = np.asarray(fn(d))
+            except Exception as e:  # Mosaic VMEM OOM etc.
+                res[tv] = float("nan")
+                print(f"  Tv={tv}: FAIL {str(e).splitlines()[0][:70]}",
+                      flush=True)
+                continue
             if base is None:
                 base = out
             else:
@@ -56,8 +62,8 @@ def main():
             t, _ = device_ms(lambda: fn(d))
             res[tv] = t
         print(
-            f"{name}: default {res[None]:.3f}  Tv=128 {res[128]:.3f}  "
-            f"Tv=192 {res[192]:.3f} ms",
+            f"{name}: default {res[None]:.3f}  Tv=96 {res[96]:.3f}  "
+            f"Tv=128 {res[128]:.3f}  Tv=192 {res[192]:.3f} ms",
             flush=True,
         )
     return 0
