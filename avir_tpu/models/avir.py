@@ -43,7 +43,11 @@ def _host_executor(plan, sh, sw, ch, dither, rnd_seed=0):
     from .host_reference import execute_plan_numpy
 
     custom = callable(dither)
-    errdiff = dither in ("errdiff", "errdiff-device")
+    # All errdiff spellings run the native serial scan on the host
+    # engine (the f64 route has no device to put a wavefront on).
+    errdiff = dither in (
+        "errdiff", "errdiff-device", "errdiff-wavefront"
+    )
 
     def run(src3):
         if (not errdiff and not custom) or plan.is_out_float:
