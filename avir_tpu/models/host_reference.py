@@ -129,10 +129,11 @@ def execute_plan_rows_numpy(
     multi-host scenario, BASELINE config 5): only the input rows that
     feed the sampled output rows go through the horizontal pass, so
     cost scales with len(rows), not the image height.  Semantically
-    identical to ``execute_plan_numpy(...)[rows]`` (tested); the
-    default (non-recursive) ditherer only — error diffusion carries a
-    whole-image recurrence and cannot be row-sampled."""
-    rows = np.asarray(sorted(rows), dtype=np.int64)
+    identical to ``execute_plan_numpy(...)[rows]`` (tested), in the
+    CALLER'S row order; the default (non-recursive) ditherer only —
+    error diffusion carries a whole-image recurrence and cannot be
+    row-sampled."""
+    rows = np.asarray(rows, dtype=np.int64)
     vop = plan.v.op
     need = np.unique(
         (

@@ -132,6 +132,51 @@ def _concat_split_ok(
     return save_s > copy_s + 5e-6
 
 
+def fused_split_call(
+    vop, lop, lop_int, lop_bnd, xin, mv, mh, *,
+    concat: bool = False,
+    x_lo=None,
+    interpret: bool = False,
+    **kw,
+):
+    """One fused-kernel invocation with the interior/boundary lane
+    split applied — the single shared assembly for the single-chip
+    AVIR/LANCIR executors and the sharded strip bodies.
+
+    ``lop_int is None``: plain single call.  Split with
+    ``concat=False``: boundary blocks first, interior scattered into
+    the same buffer via out_init aliasing (zero extra copies; cannot
+    carry a batch dim).  ``concat=True``: two COMPACT calls + one lane
+    concat — the vmap-safe form (see _concat_split_ok).  Callers
+    pre-pad ``xin`` (and ``x_lo``) when splitting so the two calls
+    don't each re-pad."""
+    from ..ops.pallas.fused_kernel import apply_fused_pallas
+
+    if lop_int is None:
+        return apply_fused_pallas(
+            vop, lop, xin, mv, mh, x_lo=x_lo, interpret=interpret, **kw
+        )
+    if concat:
+        tc = lop.tile * lop.c
+        ob = apply_fused_pallas(
+            vop, lop_bnd, xin, mv, mh, x_lo=x_lo,
+            compact_out=True, interpret=interpret, **kw,
+        )
+        oi = apply_fused_pallas(
+            vop, lop_int, xin, mv, mh, x_lo=x_lo,
+            compact_out=True, interpret=interpret, **kw,
+        )
+        return jnp.concatenate([ob[:, :tc], oi, ob[:, tc:]], axis=1)
+    ob = apply_fused_pallas(
+        vop, lop_bnd, xin, mv, mh, x_lo=x_lo,
+        out_blocks=lop.n_blocks, interpret=interpret, **kw,
+    )
+    return apply_fused_pallas(
+        vop, lop_int, xin, mv, mh, x_lo=x_lo,
+        out_blocks=lop.n_blocks, out_init=ob, interpret=interpret, **kw,
+    )
+
+
 def _use_pallas(engine: str) -> bool:
     """Pallas kernels need a real TPU backend (Mosaic); XLA otherwise."""
     if engine == "xla":
@@ -426,8 +471,6 @@ def make_avir_executor(
         # src is [h, w*c] (2-D interleaved) — keeps host<->device
         # transfers and device layouts free of C-minor tile padding.
         if fused:
-            from ..ops.pallas.fused_kernel import apply_fused_pallas
-
             # The fused kernel takes the RAW image and applies gamma,
             # both passes, gamma-out and quantization internally.
             fuse_quant = (
@@ -476,39 +519,10 @@ def make_avir_executor(
                 xin = _pad_for_fused(xin, vop, lop)
                 if xlo is not None:
                     xlo = _pad_for_fused(xlo, vop, lop)
-                if split_concat:
-                    # vmap-safe assembly: two COMPACT kernel calls
-                    # (no aliased input) + one lane concat of the
-                    # output (_concat_split_ok modeled it profitable).
-                    tc = lop.tile * c
-                    ob = apply_fused_pallas(
-                        vop, lop_bnd, xin, mv, mh, x_lo=xlo,
-                        compact_out=True, **kw,
-                    )
-                    oi = apply_fused_pallas(
-                        vop, lop_int, xin, mv, mh, x_lo=xlo,
-                        compact_out=True, **kw,
-                    )
-                    out2 = jnp.concatenate(
-                        [ob[:, :tc], oi, ob[:, tc:]], axis=1
-                    )
-                else:
-                    # Interior/boundary lane split: boundary blocks
-                    # first, then the interior call scatters into the
-                    # same buffer (out_init aliasing) at its tighter
-                    # chunk window — no extra copies.
-                    ob = apply_fused_pallas(
-                        vop, lop_bnd, xin, mv, mh, x_lo=xlo,
-                        out_blocks=lop.n_blocks, **kw,
-                    )
-                    out2 = apply_fused_pallas(
-                        vop, lop_int, xin, mv, mh, x_lo=xlo,
-                        out_blocks=lop.n_blocks, out_init=ob, **kw,
-                    )
-            else:
-                out2 = apply_fused_pallas(
-                    vop, lop, xin, mv, mh, x_lo=xlo, **kw,
-                )
+            out2 = fused_split_call(
+                vop, lop, lop_int, lop_bnd, xin, mv, mh,
+                concat=split_concat, x_lo=xlo, **kw,
+            )
             x = out2[: vop.n_out, : hop.n_out * c]
             if fuse_quant or plan.is_out_float or return_predither:
                 return x
@@ -644,8 +658,6 @@ def make_lancir_executor(
     def run(src: jax.Array) -> jax.Array:
         # src is [h, w*c]; output is [new_h, new_w*c].
         if fused:
-            from ..ops.pallas.fused_kernel import apply_fused_pallas
-
             kw = dict(
                 out_dtype=(
                     out_dt if not plan.is_out_float else jnp.float32
@@ -655,32 +667,14 @@ def make_lancir_executor(
                 round_mode="even",
                 order=forder,
             )
-            if lop_int is not None:
-                xin = _pad_for_fused(src, vop, lop)
-                if split_concat:
-                    tc = lop.tile * c
-                    ob = apply_fused_pallas(
-                        vop, lop_bnd, xin, mv, mh,
-                        compact_out=True, **kw,
-                    )
-                    oi = apply_fused_pallas(
-                        vop, lop_int, xin, mv, mh,
-                        compact_out=True, **kw,
-                    )
-                    out2 = jnp.concatenate(
-                        [ob[:, :tc], oi, ob[:, tc:]], axis=1
-                    )
-                else:
-                    ob = apply_fused_pallas(
-                        vop, lop_bnd, xin, mv, mh,
-                        out_blocks=lop.n_blocks, **kw,
-                    )
-                    out2 = apply_fused_pallas(
-                        vop, lop_int, xin, mv, mh,
-                        out_blocks=lop.n_blocks, out_init=ob, **kw,
-                    )
-            else:
-                out2 = apply_fused_pallas(vop, lop, src, mv, mh, **kw)
+            xin = (
+                _pad_for_fused(src, vop, lop)
+                if lop_int is not None else src
+            )
+            out2 = fused_split_call(
+                vop, lop, lop_int, lop_bnd, xin, mv, mh,
+                concat=split_concat, **kw,
+            )
             x = out2[: vop.n_out, : hop.n_out * c]
             if not plan.is_out_float:
                 return x

@@ -195,7 +195,16 @@ def pick_lane_tile(
         )
         if best_cost is None or cost < best_cost * 0.98:
             best, best_cost = t, cost
-    return best if best is not None else base
+    if best is not None:
+        return best
+    # Every candidate failed the tap-VMEM filter: return the smallest
+    # DMA-saturating candidate anyway — the fused-route viability gate
+    # (fused_viable) rejects what truly doesn't fit and the UNFUSED
+    # route rebuilds at the narrow tile itself (_narrow_lop), whereas
+    # returning `base` here could hand the fused kernel a
+    # DMA-starved sub-2304-byte tile that IS viable and slow.
+    fitting = [t for t in cands if t >= lo_px]
+    return min(fitting) if fitting else base
 
 
 def lane_block_banded(

@@ -102,14 +102,21 @@ def model_scaling(
     h = plan.src_h
     c = plan.el_count
     if in_itemsize is None:
-        in_itemsize = 1 if getattr(plan, "in_type_max", 255.0) == 255.0 \
-            else 2
+        # LancirPlan carries in_itemsize directly; ResizePlan derives
+        # it from the float/type-max fields (must match the bytes the
+        # production strip route ships per row).
+        in_itemsize = getattr(plan, "in_itemsize", None)
+        if in_itemsize is None:
+            in_itemsize = 4 if getattr(plan, "is_in_float", False) else (
+                1 if getattr(plan, "in_type_max", 255.0) == 255.0 else 2
+            )
     row_bytes = plan.src_w * c * in_itemsize
 
     out = []
     for n in n_devs:
         padded_h = h + ((-h) % n)
-        sv = shard_v_blocked(v_op, n, padded_h)
+        # Same byte-aware tile the production strip route uses.
+        sv = shard_v_blocked(v_op, n, padded_h, in_bytes=in_itemsize)
         blocks_n = sv.taps.shape[1]
         blocks_1 = -(-v_op.n_out // sv.tile)  # single-chip block count
         # Per-device compute: the measured chip time scaled by the

@@ -436,7 +436,6 @@ def _pallas_strip_fn(
     overlap the collectives with interior compute; only the border
     blocks' (smaller) kernel calls consume the assembled ext buffer."""
     from ..ops.banded import BlockedBandedOp
-    from ..ops.pallas.fused_kernel import apply_fused_pallas
 
     v_qshift, v_l1, v_qa1, v_qa0 = qmeta
     blocks = -(-svb.m // svb.tile)
@@ -484,37 +483,13 @@ def _pallas_strip_fn(
             lop_int = lop_bnd = None
 
     def fused_call(vop_local, xin):
-        if lop_int is None:
-            return apply_fused_pallas(
-                vop_local, lop, xin, modes[0], modes[1],
-                order="vh",
-                interpret=interpret,
-                **fused_kwargs,
-            )
-        if split_concat:
-            tc = lop.tile * lop.c
-            ob = apply_fused_pallas(
-                vop_local, lop_bnd, xin, modes[0], modes[1],
-                order="vh", interpret=interpret,
-                compact_out=True, **fused_kwargs,
-            )
-            oi = apply_fused_pallas(
-                vop_local, lop_int, xin, modes[0], modes[1],
-                order="vh", interpret=interpret,
-                compact_out=True, **fused_kwargs,
-            )
-            return jnp.concatenate(
-                [ob[:, :tc], oi, ob[:, tc:]], axis=1
-            )
-        ob = apply_fused_pallas(
-            vop_local, lop_bnd, xin, modes[0], modes[1],
-            order="vh", interpret=interpret,
-            out_blocks=lop.n_blocks, **fused_kwargs,
-        )
-        return apply_fused_pallas(
-            vop_local, lop_int, xin, modes[0], modes[1],
-            order="vh", interpret=interpret,
-            out_blocks=lop.n_blocks, out_init=ob, **fused_kwargs,
+        from ..models.runtime import fused_split_call
+
+        return fused_split_call(
+            vop_local, lop, lop_int, lop_bnd, xin,
+            modes[0], modes[1],
+            concat=split_concat, interpret=interpret,
+            order="vh", **fused_kwargs,
         )
 
     def build_ext(x, h_lo, h_hi):
@@ -669,10 +644,7 @@ def make_sharded_avir_executor(
     )
     if pallas_strips:
         from ..ops.lanes import lane_block_banded
-        from ..ops.pallas.fused_kernel import (
-            apply_fused_pallas,
-            fused_viable_shapes,
-        )
+        from ..ops.pallas.fused_kernel import fused_viable_shapes
 
         in_b = 4 if plan.is_in_float else (
             1 if plan.in_type_max == 255.0 else 2

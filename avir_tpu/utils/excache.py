@@ -72,15 +72,26 @@ class ExecutorCache:
         callable still reachable from the token map, pruned when the
         cache itself is cleared)."""
         with self._lock:
-            for tok, ref in self._toks.items():
+            # Iterate a snapshot and prune dead refs HERE, under the
+            # lock — a weakref finalizer callback would fire on
+            # whatever thread drops the last reference and mutate
+            # _toks without (and unable to take) this non-reentrant
+            # lock, racing this very iteration.
+            found = None
+            dead = []
+            for tok, ref in list(self._toks.items()):
                 target = ref() if isinstance(ref, weakref.ref) else ref
-                if target is obj:
-                    return tok
+                if target is None:
+                    dead.append(tok)
+                elif target is obj:
+                    found = tok
+            for tok in dead:
+                del self._toks[tok]
+            if found is not None:
+                return found
             tok = next(self._tok_iter)
             try:
-                self._toks[tok] = weakref.ref(
-                    obj, lambda _r, t=tok: self._toks.pop(t, None)
-                )
+                self._toks[tok] = weakref.ref(obj)
             except TypeError:  # no __weakref__ slot: pin identity
                 self._toks[tok] = obj
             return tok

@@ -396,3 +396,7 @@ def test_sampled_row_oracle_matches_full():
         rows = np.array([0, 1, 7, 30, 31, 59])
         got = execute_plan_rows_numpy(plan, src, rows)
         np.testing.assert_array_equal(got, full[rows])
+        # caller's row ORDER is preserved (incl. duplicates)
+        rows2 = np.array([30, 7, 59, 7])
+        got2 = execute_plan_rows_numpy(plan, src, rows2)
+        np.testing.assert_array_equal(got2, full[rows2])

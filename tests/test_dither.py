@@ -53,27 +53,31 @@ def test_wavefront_u16():
 
 
 def test_errdiff_auto_routing_and_parity(monkeypatch):
-    """dither="errdiff" auto-routes by output size (host scan below
-    the crossover, wavefront above); all three device/host variants
-    agree within one quantization step."""
+    """dither="errdiff" auto-routes by the crossover constant
+    (currently 0: always the wavefront on device engines); the host
+    arm (device predither -> native serial scan) is exercised by
+    raising the crossover, and all variants agree within one
+    quantization step."""
     import avir_tpu.models.avir as av
     from avir_tpu import ImageResizer
 
     rng = np.random.default_rng(9)
     src = rng.integers(0, 256, (96, 128, 3), dtype=np.uint8)
     rz = ImageResizer()
-    host = rz.resize(src, 64, 48, dither="errdiff")  # below crossover
+    auto = rz.resize(src, 64, 48, dither="errdiff")  # = wavefront
     wav = rz.resize(src, 64, 48, dither="errdiff-wavefront")
     seq = rz.resize(src, 64, 48, dither="errdiff-device")
+    np.testing.assert_array_equal(auto, wav)  # crossover 0
     assert np.abs(wav.astype(int) - seq.astype(int)).max() <= 1
-    assert np.abs(wav.astype(int) - host.astype(int)).max() <= 1
 
-    # Force the crossover low: "errdiff" must now build the wavefront
-    # executor (observable via the errdiff_impl attribute).
-    monkeypatch.setattr(av, "_ERRDIFF_WAVEFRONT_MIN_PX", 1)
+    # Raise the crossover: "errdiff" must take the HOST arm (device
+    # predither + native serial C++ scan) — the otherwise-dormant
+    # route stays correct.
+    monkeypatch.setattr(av, "_ERRDIFF_WAVEFRONT_MIN_PX", 1 << 30)
     rz2 = ImageResizer()
-    out = rz2.resize(src, 64, 48, dither="errdiff")
-    np.testing.assert_array_equal(out, wav)
+    host = rz2.resize(src, 64, 48, dither="errdiff")
+    assert np.abs(host.astype(int) - wav.astype(int)).max() <= 1
+    assert np.abs(host.astype(int) - seq.astype(int)).max() <= 1
     from avir_tpu.models.runtime import make_avir_executor
     from avir_tpu.plan.plan import build_resize_plan
 

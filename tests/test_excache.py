@@ -81,8 +81,9 @@ def test_tokens_not_recycled_after_gc():
     t_old = c.token(f)
     del f
     gc.collect()
-    assert t_old not in c._toks  # weakref callback pruned it
-    assert c.token(mk()) > t_old  # fresh, monotonic
+    t_new = c.token(mk())
+    assert t_new > t_old  # fresh, monotonic — never recycled
+    assert t_old not in c._toks  # dead entry pruned (lazily, in-lock)
 
 
 def test_driver_custom_dither_keys_survive_gc():

@@ -57,3 +57,22 @@ def test_cores_cap():
     capped = model_scaling(plan, 1e-3, n_devs=(8,), cores=4)[0]
     assert capped.t_comp_us > free.t_comp_us
     assert capped.efficiency < free.efficiency
+
+
+def test_u16_itemsize_halo_bytes():
+    """Halo bytes must use the REAL input element size (u16 = 2 B,
+    float = 4 B), and the model's tile must match the byte-aware tile
+    the production strip route picks."""
+    from avir_tpu.plan.lancir_plan import build_lancir_plan
+
+    lp = build_lancir_plan(
+        1536, 1024, 768, 512, 3, np.uint16, np.uint16
+    )
+    p = model_scaling(lp, 100e-6, n_devs=(2,))[0]
+    assert p.halo_bytes == p.halo_rows * 1536 * 3 * 2  # 2 B/element
+
+    plan = build_resize_plan(
+        1536, 1024, 768, 512, 3, np.float32, np.float32
+    )
+    p2 = model_scaling(plan, 100e-6, n_devs=(2,))[0]
+    assert p2.halo_bytes == p2.halo_rows * 1536 * 3 * 4  # 4 B/element
