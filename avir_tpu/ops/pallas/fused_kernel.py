@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..banded import BlockedBandedOp
-from ..gamma import _pow24_srgb, _pow24i_srgb
+from ..gamma import _pow24i_srgb
 from ..lanes import LaneBlockedOp
 
 
@@ -42,10 +42,33 @@ def _alpha_mask(shape, c, alpha_index):
     return (lane % c) == alpha_index
 
 
+# Degree-9 least-squares fit (Chebyshev basis, power form) of the
+# reference's rational pow24 sRGB segment
+# _pow24_srgb((s+0.055)/1.055) over s in [0.04045, 1]: f32-Horner max
+# |err| 2.8e-7 in linear light -> <= 0.24 u16 LSB through the <= 12.92
+# sRGB slope.  Division-free — the rational form costs one VPU divide
+# per element, which dominated the u16/f32 gamma pack stage
+# (tools/probe_u16_exec.py decomposition; same trick as the u8-grid
+# polynomial _U8_LIN_COEF above, fit on the continuous domain).
+_F32_LIN_COEF = (
+    0.0008536138646303981,
+    0.035465890603903136,
+    0.48196428400734187,
+    0.8900508390762532,
+    -0.9850409244814118,
+    1.257590813503784,
+    -1.2337517794771542,
+    0.820447767639579,
+    -0.32497847508180217,
+    0.05739567406964825,
+)
+
+
 def _srgb_to_linear(x, c, alpha_index):
-    lin = jnp.where(
-        x <= 0.04045, x / 12.92, _pow24_srgb((x + 0.055) / 1.055)
-    )
+    acc = jnp.float32(_F32_LIN_COEF[-1])
+    for a in _F32_LIN_COEF[-2::-1]:
+        acc = acc * x + jnp.float32(a)
+    lin = jnp.where(x <= 0.04045, x * jnp.float32(1.0 / 12.92), acc)
     if alpha_index in (0, 3) and c == 4:
         lin = jnp.where(_alpha_mask(x.shape, c, alpha_index), x, lin)
     return lin

@@ -100,3 +100,17 @@ def test_resize_batch_errdiff_on_device():
     for i in range(3):
         single = rz.resize(b[i], 24, 32, dither="errdiff")
         assert np.abs(out[i].astype(int) - single.astype(int)).max() <= 1
+
+
+def test_fused_kernel_linearization_poly_accuracy():
+    """The fused kernel's division-free degree-9 linearization must
+    track the reference's rational sRGB form within 3e-7 in linear
+    light (<= 0.25 u16 LSB through the 12.92 slope) over the whole
+    [0, 1] domain, linear segment included."""
+    from avir_tpu.ops.gamma import srgb_to_linear_np
+    from avir_tpu.ops.pallas.fused_kernel import _srgb_to_linear
+
+    s = np.linspace(0.0, 1.0, 65537, dtype=np.float32).reshape(1, -1)
+    got = np.asarray(_srgb_to_linear(jnp.asarray(s), 3, -1))
+    ref = srgb_to_linear_np(s.astype(np.float64))
+    assert np.abs(got - ref).max() <= 3e-7
