@@ -646,7 +646,9 @@ def choose_fused(
 
       config                      unfused  fused-vh  fused-hv
       8K->1080p u8 RGB              0.949     0.688     1.530
-      4K->8K u16 RGBA gamma         6.119     6.772     6.697
+      4K->8K u16 RGBA gamma         6.119     6.772     6.697  (r2
+        u8-shaped tiles; SUPERSEDED by the in_bytes>=2 rule below —
+        byte-aware tiles flip it to fused-vh 4.31/3.56 measured)
       4K->8K u8 RGB                 3.635     2.321     2.098
       VGA->XGA u8 RGB               0.043     0.055     0.051
 
