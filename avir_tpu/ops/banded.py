@@ -62,6 +62,12 @@ def pick_tile(
 ) -> int:
     """Choose the output tile size minimizing modeled kernel time.
 
+    ``bytes_per_el`` weighs the HBM term of the generic (downsize)
+    cost model and is kept at its tuned default; ``in_bytes`` is the
+    INPUT element size and only steers the upsize shortcut (wide
+    tiles for 1-byte DMA-bound kernels, 128 for 2/4-byte MAC-bound
+    ones — tools/probe_u16_tiles.py).
+
     Cost model per input column: MXU MACs = n_blocks * tile * win
     (win ~= tile * k + width — small tiles waste less on the dense
     zero-fill of the band) PLUS the window-fetch HBM time expressed in

@@ -285,6 +285,29 @@ def test_fused_upsize_u16_and_f32_route():
             assert psnr(out, ref, 65535.0) >= 60.0, (tin, gamma)
 
 
+def test_fused_upsize_u16_single_channel():
+    """c=1 u16 upsize exercises the byte-aware tile picker's
+    1152-px candidate (tile*c must stay a 128-lane multiple) through
+    the production executor."""
+    from avir_tpu.models.host_reference import execute_plan_numpy
+    from avir_tpu.models.runtime import make_avir_executor
+    from avir_tpu.ops.lanes import pick_lane_tile
+
+    plan = build_resize_plan(
+        2048, 64, 4608, 128, 1, np.uint16, np.uint16,
+        res_bit_depth=16,
+    )
+    lt = pick_lane_tile(plan.h.op, 1, in_bytes=2)
+    assert lt * 1 % 128 == 0 and lt >= 1152
+    x = xorshift128_fill((64, 2048), np.uint16, 59)
+    fn = make_avir_executor(plan, engine="pallas")
+    out = np.asarray(_interpret_executor(fn, plan, x))
+    ref = execute_plan_numpy(plan, x.reshape(64, 2048, 1)).reshape(
+        128, 4608
+    )
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 4
+
+
 def test_fused_kernel_compact_split_vmap():
     """Vmap-safe lane split (compact_out + lane concat): bit-identical
     to the single-call int8 route, and — the property the aliased
