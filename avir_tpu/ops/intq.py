@@ -33,11 +33,17 @@ _Q_MAX = 127 * 128 + 63
 
 
 def pick_shift(max_abs: float, cap: int = 14) -> int:
-    """Largest shift keeping round(max_abs * 2^shift) within _Q_MAX."""
+    """Largest shift keeping round(max_abs * 2^shift) within _Q_MAX.
+
+    May be NEGATIVE for very large taps (e.g. float-in -> u16-out
+    plans fold the 65535x range scaling into the taps): the limb form
+    stays exact-by-construction and the int8 feasibility gates
+    (int8_feasible / _int8_x_shift) reject such operators downstream —
+    clamping at 0 here instead made quantize_limbs raise and took the
+    whole executor build down with it."""
     if max_abs <= 0.0:
         return cap
-    s = int(np.floor(np.log2(_Q_MAX / max_abs)))
-    return max(0, min(cap, s))
+    return min(cap, int(np.floor(np.log2(_Q_MAX / max_abs))))
 
 
 def quantize_limbs(
@@ -51,7 +57,9 @@ def quantize_limbs(
     taps = np.asarray(taps, dtype=np.float64)
     if shift is None:
         shift = pick_shift(float(np.max(np.abs(taps), initial=0.0)))
-    q = np.round(taps * (1 << shift)).astype(np.int64)
+    # 2.0**shift, not 1 << shift: the shift may be NEGATIVE for taps
+    # with folded-in range scaling (see pick_shift).
+    q = np.round(taps * 2.0 ** shift).astype(np.int64)
     if np.any(np.abs(q) > _Q_MAX):  # pragma: no cover - pick_shift caps
         raise ValueError("tap magnitude overflows two s8 limbs")
     q1 = (q + 64) >> 7

@@ -751,6 +751,11 @@ def int8_feasible(
     (l1_max pathologically large would overflow the high limb)."""
     if vop.taps_q1 is None or lop.taps_q1 is None:
         return False
+    # Negative limb shifts arise when range scaling is folded into the
+    # taps (float-in -> u16-out); such operators never take the int8
+    # route (they aren't u8-out anyway — belt and braces).
+    if vop.q_shift <= 0 or lop.q_shift <= 0:
+        return False
     first = vop if order == "vh" else lop
     first_shift = vop.q_shift if order == "vh" else lop.q_shift
     if gamma:

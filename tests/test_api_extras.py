@@ -400,3 +400,31 @@ def test_sampled_row_oracle_matches_full():
         rows2 = np.array([30, 7, 59, 7])
         got2 = execute_plan_rows_numpy(plan, src, rows2)
         np.testing.assert_array_equal(got2, full[rows2])
+
+
+def test_float_in_u16_out_large_taps():
+    """float-in -> u16-out plans fold the 65535x range scaling into
+    the composed taps; the int8 limb quantizer must hand back a
+    NEGATIVE shift (rejected by the int8 feasibility gates) instead of
+    raising and killing the whole executor build (found by the
+    extended fuzz sweep, round 3)."""
+    from avir_tpu.models.host_reference import execute_plan_numpy
+
+    rng = np.random.default_rng(8)
+    src = rng.random((60, 85, 2), dtype=np.float32)
+    rz = avir_tpu.ImageResizer(
+        res_bit_depth=16, params=avir_tpu.preset("high")
+    )
+    out = rz.resize(
+        src, 19, 88, k=0.2836, ox=0.711, oy=-1.365,
+        out_dtype=np.uint16,
+    )
+    plan = build_resize_plan(
+        85, 60, 19, 88, 2, np.float32, np.uint16,
+        k=0.2836, ox=0.711, oy=-1.365,
+        params=avir_tpu.preset("high"), res_bit_depth=16,
+    )
+    ref = execute_plan_numpy(plan, src)
+    assert np.abs(
+        out.astype(np.float64) - ref.astype(np.float64)
+    ).max() <= 4
