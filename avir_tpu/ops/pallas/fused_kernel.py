@@ -50,6 +50,8 @@ def _alpha_mask(shape, c, alpha_index):
 # per element, which dominated the u16/f32 gamma pack stage
 # (tools/probe_u16_exec.py decomposition; same trick as the u8-grid
 # polynomial _U8_LIN_COEF above, fit on the continuous domain).
+# Valid on [0, 1] like the reference's own approximation; out-of-range
+# float inputs were undefined behavior before and remain so.
 _F32_LIN_COEF = (
     0.0008536138646303981,
     0.035465890603903136,
