@@ -460,16 +460,20 @@ def make_resize_fn(
     the executors' native flat [H, W*C] -> [new_h, new_w*C] contract
     instead (zero padding waste).
 
-    ``dither`` is "default" or "errdiff-device" — the host-scan
-    error-diffusion route is not traceable.
+    ``dither``: "default", "errdiff" (the in-graph wavefront scan —
+    fully traceable and vmappable), "errdiff-wavefront" (same), or
+    "errdiff-device" (the sequential nested scan); the host-scan route
+    and custom callables are not traceable.
     """
     from ..plan.plan import build_resize_plan
     from .runtime import make_avir_executor
 
-    if dither not in ("default", "errdiff-device"):
+    if dither not in (
+        "default", "errdiff", "errdiff-wavefront", "errdiff-device"
+    ):
         raise ValueError(
-            "traceable resize supports dither='default' or"
-            " 'errdiff-device'"
+            "traceable resize supports dither='default', 'errdiff',"
+            " 'errdiff-wavefront' or 'errdiff-device'"
         )
     squeeze = len(src_shape) == 2
     sh, sw = src_shape[0], src_shape[1]
@@ -485,7 +489,10 @@ def make_resize_fn(
     )
     run = make_avir_executor(
         plan,
-        errdiff=(dither == "errdiff-device"),
+        errdiff=(dither != "default"),
+        errdiff_impl=(
+            "scan" if dither == "errdiff-device" else "wavefront"
+        ),
         precision=precision,
         engine=engine,
         # traceable fns compose under the caller's vmap: the aliased

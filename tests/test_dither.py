@@ -114,3 +114,21 @@ def test_fused_kernel_linearization_poly_accuracy():
     got = np.asarray(_srgb_to_linear(jnp.asarray(s), 3, -1))
     ref = srgb_to_linear_np(s.astype(np.float64))
     assert np.abs(got - ref).max() <= 3e-7
+
+
+def test_traceable_resize_fn_errdiff():
+    """make_resize_fn accepts the in-graph errdiff spellings (the
+    wavefront is traceable and vmappable) and matches the driver."""
+    import jax
+
+    from avir_tpu import ImageResizer, make_resize_fn
+
+    rng = np.random.default_rng(51)
+    img = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    fn = make_resize_fn((48, 64, 3), np.uint8, 32, 24, dither="errdiff")
+    out = np.asarray(jax.jit(fn)(img))
+    ref = ImageResizer().resize(img, 32, 24, dither="errdiff")
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+    b = rng.integers(0, 256, (2, 48, 64, 3), dtype=np.uint8)
+    outs = np.asarray(jax.jit(jax.vmap(fn))(b))
+    assert outs.shape == (2, 24, 32, 3)
