@@ -67,6 +67,27 @@ def main() -> int:
     assert checked == nh // nproc, checked
     print(f"proc {pid}: {checked} output rows verified", flush=True)
 
+    # Scenario 1b — the PRODUCTION kernel across processes: the same
+    # geometry through the fused-Pallas strip route (interpret mode on
+    # CPU devices), so the cross-process halo ppermutes feed the strip
+    # kernel exactly as a TPU pod would (scenario 1 covers the
+    # portable XLA route).
+    fn1b = make_sharded_avir_executor(
+        plan, mesh, rows_axis="sp", engine="pallas", interpret=True
+    )
+    out1b = fn1b(garr)
+    jax.block_until_ready(out1b)
+    checked1b = 0
+    for shard in out1b.addressable_shards:
+        rows = shard.index[0]
+        got = np.asarray(shard.data).astype(np.int64)
+        ref = oracle[rows].astype(np.int64)
+        maxdiff = np.abs(got - ref).max() if got.size else 0
+        assert maxdiff <= 1, (pid, rows, maxdiff)
+        checked1b += got.shape[0]
+    assert checked1b == nh // nproc, checked1b
+    print(f"proc {pid}: pallas strip route verified", flush=True)
+
     # Scenario 2 — the BASELINE.json multi-host config shape: BATCH
     # downsize on a 2-D (dp, sp) mesh where the batch axis spans
     # processes (DCN-analog) and row strips span the local devices.
