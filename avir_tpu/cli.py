@@ -75,7 +75,10 @@ def save_image(
         pil.save(
             str(p),
             quality=quality,
-            subsampling=2 if jpeg_low_cs else 0,
+            # Pillow subsampling codes: 0 = 4:4:4, 1 = 4:2:2, 2 = 4:2:0.
+            # The reference binary's usage string promises "4:2:2
+            # chrominance sub-sampling" for this flag.
+            subsampling=1 if jpeg_low_cs else 0,
         )
     elif ext == ".webp":
         pil.save(str(p), quality=quality)

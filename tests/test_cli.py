@@ -182,3 +182,17 @@ def test_jpeg_output(tmp_path, rgb_png):
          "--jpeg-low-cs"]
     ) == 0
     assert cli.load_image(str(out)).shape == (24, 32, 3)
+    # --jpeg-low-cs must emit 4:2:2 (the reference binary's usage
+    # string: "4:2:2 chrominance sub-sampling"), i.e. luma sampled
+    # 2x1 relative to 1x1 chroma — NOT 4:2:0's 2x2.
+    from PIL import Image, JpegImagePlugin
+
+    with Image.open(out) as im:
+        assert JpegImagePlugin.get_sampling(im) == 1  # 4:2:2
+
+    out444 = tmp_path / "o444.jpg"
+    assert cli.main(
+        [str(inp), str(out444), "--out-size=32x24", "--out-quality=85"]
+    ) == 0
+    with Image.open(out444) as im:
+        assert JpegImagePlugin.get_sampling(im) == 0  # 4:4:4
