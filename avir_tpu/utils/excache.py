@@ -13,6 +13,16 @@ executor per (geometry, params, ...) key.  Two hygiene requirements:
     per live callable, tracked by weak reference, so a recycled id can
     never alias a previous key.
 
+``token()`` is O(1): tokens are indexed by ``id(obj)`` with the live
+object verified by weakref, and entries whose referent died are queued
+by the weakref callback (lock-free ``deque.append``) and reaped under
+the lock on the next call.  Note that tokens are IDENTITY-based: a
+custom ditherer must be a long-lived callable — passing a fresh lambda
+(or a freshly bound method, ``obj.method`` creates a new object each
+access) on every resize gets a fresh token each time and rebuilds +
+recompiles the executor per call.  Hold one reference to the callable
+for the service's lifetime.
+
 The reference has no analog (its resizer holds one filter bank and the
 user manages object lifetime, avir.h:4630-4639); this is hygiene for
 the long-lived-service usage mode the TPU framework targets.
@@ -23,7 +33,7 @@ from __future__ import annotations
 import itertools
 import threading
 import weakref
-from collections import OrderedDict
+from collections import OrderedDict, deque
 
 
 class ExecutorCache:
@@ -33,7 +43,16 @@ class ExecutorCache:
         self.maxsize = maxsize
         self._map: OrderedDict = OrderedDict()
         self._lock = threading.Lock()
-        self._toks: dict[int, object] = {}  # token -> weakref (or obj)
+        # id(obj) -> (token, weakref-or-obj).  Un-weakreffable
+        # callables are pinned by strong reference instead (their id
+        # then stays valid for the life of the pin), pruned only by
+        # clear().
+        self._toks: dict[int, tuple[int, object]] = {}
+        # ids whose weak referent died; appended by the weakref
+        # callback WITHOUT the lock (deque.append is atomic and the
+        # callback may fire on any thread, including re-entrantly
+        # under this very lock), drained inside token().
+        self._dead: deque[int] = deque()
         self._tok_iter = itertools.count()
 
     def __len__(self) -> int:
@@ -65,38 +84,44 @@ class ExecutorCache:
         """Identity token for a live callable, safe against id() reuse.
 
         Tokens are never recycled: a new callable always gets a fresh
-        token even if it occupies a collected callable's memory.  The
-        callable is tracked by weakref when possible (dead entries are
-        pruned by the weakref callback); un-weakreffable callables are
-        pinned by a strong reference instead (bounded: one per distinct
-        callable still reachable from the token map, pruned when the
-        cache itself is cleared)."""
+        token even if it occupies a collected callable's memory (the
+        dead entry is reaped before the id can be re-registered, and a
+        live-entry hit verifies the referent IS ``obj``)."""
+        oid = id(obj)
         with self._lock:
-            # Iterate a snapshot and prune dead refs HERE, under the
-            # lock — a weakref finalizer callback would fire on
-            # whatever thread drops the last reference and mutate
-            # _toks without (and unable to take) this non-reentrant
-            # lock, racing this very iteration.
-            found = None
-            dead = []
-            for tok, ref in list(self._toks.items()):
+            # Reap entries whose referent died.  Guard against id
+            # reuse racing the reap: only drop an entry that is still
+            # dead (a reused id re-registered below would have
+            # replaced the entry with a live one at the same key).
+            while True:
+                try:
+                    did = self._dead.popleft()
+                except IndexError:
+                    break
+                ent = self._toks.get(did)
+                if ent is not None and isinstance(ent[1], weakref.ref) \
+                        and ent[1]() is None:
+                    del self._toks[did]
+            ent = self._toks.get(oid)
+            if ent is not None:
+                tok, ref = ent
                 target = ref() if isinstance(ref, weakref.ref) else ref
-                if target is None:
-                    dead.append(tok)
-                elif target is obj:
-                    found = tok
-            for tok in dead:
-                del self._toks[tok]
-            if found is not None:
-                return found
+                if target is obj:
+                    return tok
+                # Dead (not yet reaped) or id reused: fall through and
+                # overwrite with a fresh token.
             tok = next(self._tok_iter)
             try:
-                self._toks[tok] = weakref.ref(obj)
+                self._toks[oid] = (
+                    tok,
+                    weakref.ref(obj, lambda _r: self._dead.append(oid)),
+                )
             except TypeError:  # no __weakref__ slot: pin identity
-                self._toks[tok] = obj
+                self._toks[oid] = (tok, obj)
             return tok
 
     def clear(self) -> None:
         with self._lock:
             self._map.clear()
             self._toks.clear()
+            self._dead.clear()

@@ -83,7 +83,28 @@ def test_tokens_not_recycled_after_gc():
     gc.collect()
     t_new = c.token(mk())
     assert t_new > t_old  # fresh, monotonic — never recycled
-    assert t_old not in c._toks  # dead entry pruned (lazily, in-lock)
+    # dead entry pruned (reaped in-lock from the death queue)
+    assert t_old not in {tok for tok, _ in c._toks.values()}
+
+
+def test_token_lookup_is_o1_for_live_callables():
+    """token() must not scan all live tokens per call (ADVICE r3): with
+    many registered callables, a repeat lookup touches only the
+    id-indexed entry."""
+    c = ExecutorCache()
+    fns = []
+
+    def mk(i):
+        def f(img, tb, om, seed):
+            return img + i
+        return f
+
+    for i in range(500):
+        fns.append(mk(i))
+        c.token(fns[-1])
+    toks = [c.token(f) for f in fns]
+    assert len(set(toks)) == 500
+    assert all(c.token(f) == t for f, t in zip(fns, toks))
 
 
 def test_driver_custom_dither_keys_survive_gc():
