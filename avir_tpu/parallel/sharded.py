@@ -587,6 +587,7 @@ def make_sharded_avir_executor(
     engine: str = "auto",
     interpret: bool = False,
     pallas_tile: int | None = None,
+    dither: str = "default",
 ) -> Callable[[jax.Array], jax.Array]:
     """Compile a ResizePlan into a sharded executor over ``mesh``.
 
@@ -606,11 +607,28 @@ def make_sharded_avir_executor(
     gather+matmul route (used on CPU meshes); ``interpret=True`` forces
     the Pallas route in interpreter mode for CPU-mesh testing.
 
-    Dither is the non-recursive default ditherer; error diffusion is
-    inherently serial (the reference serializes it too, avir.h:5047-5068)
-    and lives only on the single-chip path.
+    ``dither``: "default" (round+clamp, per-strip — no communication)
+    or "errdiff"/"errdiff-wavefront"/"errdiff-device" (error diffusion).
+    Error diffusion is inherently serial across the whole image (the
+    reference serializes it onto one thread too, avir.h:5047-5068), so
+    the sharded executor gathers the small PRE-dither float output
+    strips with one ``all_gather``, runs the in-graph scan replicated
+    on every device (wavefront by default; "errdiff-device" keeps the
+    sequential nested scan), and each device keeps its own strip of the
+    dithered rows — output stays row-sharded like the default path.
+    Ignored for float outputs (nothing to quantize, as in the
+    reference).
     """
     from ..models.runtime import resolve_modes
+
+    errdiff = dither in (
+        "errdiff", "errdiff-wavefront", "errdiff-device"
+    ) and not plan.is_out_float
+    if dither not in (
+        "default", "errdiff", "errdiff-wavefront", "errdiff-device"
+    ):
+        raise ValueError(f"unknown dither {dither!r}")
+    errdiff_impl = "scan" if dither == "errdiff-device" else "wavefront"
 
     n_dev = mesh.shape[rows_axis]
     in_exact_bf16 = (
@@ -687,6 +705,10 @@ def make_sharded_avir_executor(
             and not plan.is_out_float
             and plan.out_type_max == 255.0
             and lop.taps_q1 is not None
+            # errdiff feeds back its quantizer residual; the pre-dither
+            # image must be full precision (same exclusion as the
+            # single-chip int8_ok, models/runtime.py).
+            and not errdiff
         )
         q_consts = ()
         v_qshift = 0
@@ -724,11 +746,17 @@ def make_sharded_avir_executor(
                 mode_first, mode_second
             ),
             dict(
+                # errdiff: the kernel emits the PRE-dither float image
+                # (gamma-out applied, no quantization) — the epilogue
+                # below gathers and dithers it (cf. return_predither,
+                # models/runtime.py).
                 out_dtype=(
-                    out_dt if not plan.is_out_float else jnp.float32
+                    out_dt
+                    if not plan.is_out_float and not errdiff
+                    else jnp.float32
                 ),
                 out_max=plan.out_type_max,
-                trunc_bits=trunc_bits,
+                trunc_bits=0 if errdiff else trunc_bits,
                 gamma=plan.use_srgb_gamma,
                 alpha_index=plan.alpha_index,
                 in_gamma_mult=plan.in_gamma_mult,
@@ -788,10 +816,41 @@ def make_sharded_avir_executor(
                 y3 = y3 * jnp.float32(plan.out_gamma_mult)
             y = y3.reshape(svop.m, new_w * c)
         if not plan.is_out_float:
+            if errdiff:
+                return y  # pre-dither float; epilogue gathers+dithers
             y = default_dither_jnp(y, trunc_bits, plan.out_type_max)
         return y.astype(out_dt)
 
     body = pallas_fn if pallas_strips else shard_fn
+    if errdiff:
+        from ..ops.dither import (
+            errdiff_dither_jnp,
+            errdiff_dither_wavefront_jnp,
+        )
+
+        ed = (
+            errdiff_dither_wavefront_jnp
+            if errdiff_impl == "wavefront"
+            else errdiff_dither_jnp
+        )
+        m = svop.m
+        inner_body = body
+
+        def body(x, *consts):
+            # Per-device pre-dither float strip -> one all_gather of
+            # the (small, post-resize) image -> the serial scan runs
+            # replicated in-graph -> each device keeps its own rows.
+            y = inner_body(x, *consts)  # [m, new_w*c] float32
+            full = jax.lax.all_gather(y, rows_axis, tiled=True)
+            img = full[:new_h].reshape(new_h, new_w, c)
+            d = ed(img, trunc_bits, plan.out_type_max)
+            d = d.reshape(new_h, new_w * c)
+            if n_dev * m > new_h:
+                d = jnp.pad(d, ((0, n_dev * m - new_h), (0, 0)))
+            i = jax.lax.axis_index(rows_axis)
+            mine = jax.lax.dynamic_slice_in_dim(d, i * m, m, axis=0)
+            return mine.astype(out_dt)
+
     consts = (offs_c, taps_c) + (q_consts if pallas_strips else ())
     const_spec = P(rows_axis)
     # check_vma=False: pallas_call's out_shape carries no varying-mesh-

@@ -314,3 +314,87 @@ def test_sharded_strips_with_lane_split():
     out = np.asarray(fn(src.reshape(768, -1))).reshape(192, 512, 3)
     single = avir_tpu.resize(src, 512, 192)
     assert np.abs(out.astype(int) - single.astype(int)).max() <= 1
+
+
+def test_sharded_errdiff_matches_single_xla():
+    """Multi-chip error diffusion (VERDICT r3 item 3): the XLA route
+    gathers the pre-dither float strips, runs the wavefront in-graph
+    replicated, and each device keeps its rows — vs the single-chip
+    errdiff executor at <= 1 quantization step."""
+    from avir_tpu.models.avir import ImageResizer
+
+    src = xorshift128_fill((256, 96, 3), np.uint8, 207)
+    plan = build_resize_plan(96, 256, 64, 160, 3, np.uint8, np.uint8)
+    mesh = row_mesh()
+    fn = make_sharded_avir_executor(
+        plan, mesh, rows_axis="sp", dither="errdiff"
+    )
+    out = np.asarray(fn(src.reshape(256, -1)))
+    assert out.dtype == np.uint8 and out.shape == (160, 64 * 3)
+    out = out.reshape(160, 64, 3)
+    single = ImageResizer().resize(src, 64, 160, dither="errdiff")
+    assert np.abs(out.astype(int) - single.astype(int)).max() <= 1
+
+
+def test_sharded_errdiff_pallas_strips():
+    """Errdiff through the fused-Pallas strip route: the strip kernel
+    emits the pre-dither float (no in-kernel quantize, int8 mode
+    disabled), then the shared gather+wavefront epilogue dithers."""
+    from avir_tpu.models.avir import ImageResizer
+
+    src = xorshift128_fill((256, 96, 3), np.uint8, 505)
+    plan = build_resize_plan(96, 256, 64, 160, 3, np.uint8, np.uint8)
+    mesh = row_mesh()
+    fn = make_sharded_avir_executor(
+        plan, mesh, rows_axis="sp", engine="pallas", interpret=True,
+        dither="errdiff",
+    )
+    out = np.asarray(fn(src.reshape(256, -1)))
+    assert out.dtype == np.uint8
+    out = out.reshape(160, 64, 3)
+    single = ImageResizer().resize(src, 64, 160, dither="errdiff")
+    assert np.abs(out.astype(int) - single.astype(int)).max() <= 1
+
+
+def test_sharded_errdiff_batch_dp_sp():
+    """Errdiff under dp x sp (vmapped body): the all_gather +
+    dynamic-slice epilogue must be vmap-safe."""
+    from avir_tpu.models.avir import ImageResizer
+
+    mesh = jax.make_mesh((2, 4), ("dp", "sp"))
+    rng = np.random.default_rng(3)
+    batch = rng.integers(0, 256, (4, 64, 48, 3), dtype=np.uint8)
+    plan = build_resize_plan(48, 64, 24, 32, 3, np.uint8, np.uint8)
+    fn = make_sharded_avir_executor(
+        plan, mesh, rows_axis="sp", batch_axis="dp", dither="errdiff"
+    )
+    out = np.asarray(fn(batch.reshape(4, 64, -1)))
+    assert out.shape == (4, 32, 24 * 3)
+    rz = ImageResizer()
+    for i in range(4):
+        single = rz.resize(batch[i], 24, 32, dither="errdiff")
+        got = out[i].reshape(32, 24, 3)
+        assert np.abs(got.astype(int) - single.astype(int)).max() <= 1
+
+
+def test_sharded_errdiff_16bit_trunc():
+    """Errdiff with bit-depth truncation (res_bit_depth < out bits):
+    the epilogue must honor trunc_bits."""
+    from avir_tpu.models.avir import ImageResizer
+
+    src = xorshift128_fill((128, 64, 3), np.uint16, 613)
+    plan = build_resize_plan(
+        64, 128, 32, 64, 3, np.uint16, np.uint16, res_bit_depth=12
+    )
+    mesh = row_mesh()
+    fn = make_sharded_avir_executor(
+        plan, mesh, rows_axis="sp", dither="errdiff"
+    )
+    out = np.asarray(fn(src.reshape(128, -1))).reshape(64, 32, 3)
+    single = ImageResizer(
+        res_bit_depth=12, src_bit_depth=16
+    ).resize(src, 32, 64, dither="errdiff")
+    step = 65535.0 / (65535 >> 4)
+    assert np.abs(
+        out.astype(np.int64) - single.astype(np.int64)
+    ).max() <= step
