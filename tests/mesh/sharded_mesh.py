@@ -398,3 +398,74 @@ def test_sharded_errdiff_16bit_trunc():
     assert np.abs(
         out.astype(np.int64) - single.astype(np.int64)
     ).max() <= step
+
+
+def test_sharded_2d_rows_cols():
+    """2-D intra-image sharding (rows x cols, VERDICT r3 item 5): both
+    passes exchange halos along their own mesh axis; matches the
+    single-chip result <= 1 LSB."""
+    from avir_tpu.parallel.sharded import (
+        make_sharded_avir_executor_2d,
+        pad_cols,
+    )
+
+    mesh = jax.make_mesh((2, 4), ("sp", "cp"))
+    src = xorshift128_fill((192, 256, 3), np.uint8, 808)
+    plan = build_resize_plan(256, 192, 128, 96, 3, np.uint8, np.uint8)
+    fn = make_sharded_avir_executor_2d(
+        plan, mesh, rows_axis="sp", cols_axis="cp"
+    )
+    flat = pad_cols(pad_rows(src.reshape(192, -1), 2), 4, 3)
+    out = np.asarray(fn(flat)).reshape(96, 128, 3)
+    single = avir_tpu.resize(src, 128, 96)
+    assert np.abs(out.astype(int) - single.astype(int)).max() <= 1
+
+
+def test_sharded_2d_gamma_upsize_oddshapes():
+    """2-D sharding with gamma+alpha, an upsize, and sizes that do not
+    divide the mesh (exercises pad_rows/pad_cols and partial tiles)."""
+    from avir_tpu.models.avir import ImageResizer
+    from avir_tpu.parallel.sharded import (
+        make_sharded_avir_executor_2d,
+        pad_cols,
+    )
+
+    mesh = jax.make_mesh((4, 2), ("sp", "cp"))
+    src = xorshift128_fill((90, 70, 4), np.uint8, 909)
+    plan = build_resize_plan(
+        70, 90, 110, 130, 4, np.uint8, np.uint8,
+        use_srgb_gamma=True, alpha_index=3,
+    )
+    fn = make_sharded_avir_executor_2d(plan, mesh)
+    flat = pad_cols(pad_rows(src.reshape(90, -1), 4), 2, 4)
+    out = np.asarray(fn(flat)).reshape(130, 110, 4)
+    rz = ImageResizer()
+    single = rz.resize(
+        src, 110, 130, use_srgb_gamma=True, alpha_index=3
+    )
+    assert np.abs(out.astype(int) - single.astype(int)).max() <= 1
+
+
+def test_sharded_2d_errdiff_and_batch():
+    """2-D sharding with error diffusion, and under a batch axis."""
+    from avir_tpu.models.avir import ImageResizer
+    from avir_tpu.parallel.sharded import (
+        make_sharded_avir_executor_2d,
+        pad_cols,
+    )
+
+    mesh = jax.make_mesh((2, 2, 2), ("dp", "sp", "cp"))
+    rng = np.random.default_rng(4)
+    batch = rng.integers(0, 256, (2, 64, 48, 3), dtype=np.uint8)
+    plan = build_resize_plan(48, 64, 24, 32, 3, np.uint8, np.uint8)
+    fn = make_sharded_avir_executor_2d(
+        plan, mesh, batch_axis="dp", dither="errdiff"
+    )
+    flat = pad_cols(batch.reshape(2, 64, -1), 2, 3)
+    out = np.asarray(fn(flat))
+    assert out.shape == (2, 32, 24 * 3)
+    rz = ImageResizer()
+    for i in range(2):
+        single = rz.resize(batch[i], 24, 32, dither="errdiff")
+        got = out[i].reshape(32, 24, 3)
+        assert np.abs(got.astype(int) - single.astype(int)).max() <= 1
