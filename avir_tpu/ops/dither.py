@@ -93,7 +93,8 @@ def errdiff_dither_jnp(
 
 
 def errdiff_dither_wavefront_jnp(
-    img: jax.Array, trunc_bits: int, out_max: float
+    img: jax.Array, trunc_bits: int, out_max: float,
+    unroll: int = 8,
 ) -> jax.Array:
     """Anti-diagonal WAVEFRONT formulation of the error-diffusion
     recurrence — same weights and scan-order dependency structure as
@@ -152,7 +153,14 @@ def errdiff_dither_wavefront_jnp(
         return (noise, n1, n2), jnp.clip(z0, 0.0, out_max)
 
     zero = jnp.zeros((h, c), img.dtype)
-    _, O = jax.lax.scan(step, (zero, zero, zero), (S, M))
+    # ``unroll``: the scan is latency-bound (each of the W+2H-2 steps
+    # does only [H, C] of VPU work but pays the XLA While-loop
+    # iteration overhead); unrolling amortizes that overhead across
+    # several diagonals per loop trip (measured on v5e:
+    # tools/probe_wavefront.py, docs/perf_analysis.md).
+    _, O = jax.lax.scan(
+        step, (zero, zero, zero), (S, M), unroll=unroll
+    )
     # Unskew: out[y, x] = O[2y + x, y].
     Ot = O.transpose(1, 0, 2)  # [h, T, c]
     out = jax.vmap(lambda row, s: jnp.roll(row, -s, axis=0))(

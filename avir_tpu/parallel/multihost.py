@@ -49,15 +49,32 @@ def make_dp_sp_mesh(sp: Optional[int] = None):
     """Mesh with a scanline-parallel axis of size ``sp`` (default: all
     devices on one axis) and batch data-parallelism over the rest.
 
-    Lay out sp over physically-adjacent devices so halo ppermutes ride
-    ICI: jax.make_mesh's default device assignment keeps the minor axis
-    contiguous per host.
+    ASSUMPTION (verified below): the sp axis must land on
+    physically-adjacent devices so the halo ppermutes ride ICI rather
+    than DCN.  ``jax.make_mesh`` hands the MINOR mesh axis the
+    fastest-varying (most-local) hardware dimension, and this helper
+    always places sp minor; when sp does not exceed a host's local
+    device count we additionally assert that each sp column stays
+    within one process, which guarantees intra-host ICI for its
+    ppermutes.  For sp spanning hosts, make_mesh's device assignment
+    follows the pod's physical torus order — adjacent by construction —
+    but crossing DCN-connected host groups is then the caller's
+    topology decision.
     """
     import jax
+    import numpy as np
 
     n = len(jax.devices())
     if sp is None:
         sp = n
     if n % sp != 0:
         raise ValueError(f"device count {n} not divisible by sp={sp}")
-    return jax.make_mesh((n // sp, sp), ("dp", "sp"))
+    mesh = jax.make_mesh((n // sp, sp), ("dp", "sp"))
+    local = jax.local_device_count()
+    if sp <= local:
+        procs = np.vectorize(lambda d: d.process_index)(mesh.devices)
+        assert (procs == procs[:, :1]).all(), (
+            "sp axis crosses process boundaries despite fitting in one "
+            "host; device ordering violates the adjacency assumption"
+        )
+    return mesh

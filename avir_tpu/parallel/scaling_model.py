@@ -143,6 +143,11 @@ def model_scaling(
             halo = max(sv.halo_lo, sv.halo_hi)
             t_halo = lat + halo * row_bytes / bw
             n_int = max(sv.b_int1 - sv.b_int0, 0)
+            # 2/4-byte strips run the blocking single-kernel body (the
+            # V split's border outputs blow Mosaic's scoped VMEM —
+            # parallel/sharded.py), so no overlap credit there.
+            if in_itemsize >= 2:
+                n_int = 0
             t_int = (
                 t_chip_s * (n_int * n / max(blocks_1, 1)) / par
             )
@@ -179,6 +184,153 @@ def format_table(points: list[ScalePoint]) -> str:
             f"{p.halo_rows:4d}/{p.halo_bytes / 1024:7.1f}  "
             f"{p.t_comp_us:8.1f}  {p.t_halo_us:8.2f}  "
             f"{p.t_exposed_us:7.2f}  {p.t_step_us:8.1f}  "
+            f"{p.efficiency:5.2f}"
+            + ("  [all-gather]" if p.all_gather else "")
+        )
+    return "\n".join(lines)
+
+
+def model_scaling_2d(
+    plan,
+    t_chip_s: float,
+    grids=((1, 2), (2, 2), (2, 4), (4, 2), (4, 4), (2, 8), (4, 8)),
+    *,
+    bw=V5E_ICI_BW,
+    lat=V5E_ICI_LAT,
+    t_dispatch=T_DISPATCH,
+    in_itemsize: int | None = None,
+    tile: int = 64,
+) -> list["ScalePoint2D"]:
+    """Predict 2-D (rows x cols) intra-image scaling efficiency
+    (``make_sharded_avir_executor_2d``) from the measured single-chip
+    time.
+
+    Differences from the 1-D model:
+
+      - per-device compute is apportioned between the two passes by
+        exact MAC counts (the H pass contracts the local row extent,
+        the V pass the already-H-resized column extent), with each
+        axis's block-padding overhead applied to its own pass;
+      - TWO halo exchanges: column halos on the raw tile (cheap
+        integer bytes scaled by the 1/r row extent) and row halos on
+        the f32 intermediate (scaled by the 1/s column extent) —
+        sharding one axis SHRINKS the other axis's halo bytes;
+      - each exchange's overlap credit comes from its own pass's
+        interior blocks.
+
+    The structural win over 1-D rows: at equal device count, strips
+    stay fat in BOTH dimensions, so interior extinction (the 1-D knee
+    at strip ~ V-window rows) is deferred to much larger n.
+    """
+    from .sharded import shard_v_op
+
+    v_op = plan.v.op if hasattr(plan, "v") and hasattr(plan.v, "op") \
+        else plan.v
+    h_op = plan.h.op if hasattr(plan, "h") and hasattr(plan.h, "op") \
+        else plan.h
+    h, w, c = plan.src_h, plan.src_w, plan.el_count
+    if in_itemsize is None:
+        in_itemsize = getattr(plan, "in_itemsize", None)
+        if in_itemsize is None:
+            in_itemsize = 4 if getattr(plan, "is_in_float", False) else (
+                1 if getattr(plan, "in_type_max", 255.0) == 255.0 else 2
+            )
+
+    # Single-chip MAC totals at the same tile (V first on full width,
+    # H on the resized height) apportion t_chip between the passes.
+    bl_v1 = -(-v_op.n_out // tile)
+    bl_h1 = -(-h_op.n_out // tile)
+    sv1 = shard_v_op(v_op, 1, h + ((-h) % 1), tile=tile)
+    sh1 = shard_v_op(h_op, 1, w + ((-w) % 1), tile=tile)
+    M_v1 = bl_v1 * tile * sv1.win * (w * c)
+    M_h1 = bl_h1 * tile * sh1.win * (v_op.n_out * c)
+    M1 = M_v1 + M_h1
+
+    out = []
+    for r, s in grids:
+        n = r * s
+        svv = shard_v_op(v_op, r, h + ((-h) % r), tile=tile)
+        svh = shard_v_op(h_op, s, w + ((-w) % s), tile=tile)
+        hs = (h + ((-h) % r)) // r          # local raw rows
+        bl_v = svv.taps.shape[1]
+        bl_h = svh.taps.shape[1]
+        # Per-device MACs: H pass on [hs, ws] raw tile; V pass on the
+        # H-resized [hs, m_w] tile.
+        M_h_dev = bl_h * tile * svh.win * (hs * c)
+        M_v_dev = bl_v * tile * svv.win * (svh.m * c)
+        t_comp = (
+            t_chip_s * (M_h_dev + M_v_dev) / M1 + t_dispatch * 2
+        )
+        # Column halos (raw integer bytes, 1/r of the rows).
+        if svh.use_all_gather:
+            ag = (s - 1) / s * w * hs * c * in_itemsize
+            t_halo_c = lat * max(1, int(np.ceil(np.log2(max(s, 2))))) \
+                + ag / bw
+            t_int_h = 0.0
+        else:
+            halo_c = max(svh.halo_lo, svh.halo_hi)
+            t_halo_c = lat + halo_c * hs * c * in_itemsize / bw
+            n_int_h = max(svh.b_int1 - svh.b_int0, 0)
+            t_int_h = t_chip_s * (
+                n_int_h * tile * svh.win * hs * c
+            ) / M1
+        t_exp_c = max(0.0, t_halo_c - t_int_h) if s > 1 else 0.0
+        # Row halos (f32 intermediate, 1/s of the columns).
+        if svv.use_all_gather:
+            ag = (r - 1) / r * v_op.n_in * svh.m * c * 4
+            t_halo_r = lat * max(1, int(np.ceil(np.log2(max(r, 2))))) \
+                + ag / bw
+            t_int_v = 0.0
+        else:
+            halo_r = max(svv.halo_lo, svv.halo_hi)
+            t_halo_r = lat + halo_r * svh.m * c * 4 / bw
+            n_int_v = max(svv.b_int1 - svv.b_int0, 0)
+            t_int_v = t_chip_s * (
+                n_int_v * tile * svv.win * svh.m * c
+            ) / M1
+        t_exp_r = max(0.0, t_halo_r - t_int_v) if r > 1 else 0.0
+        t_step = t_comp + t_exp_c + t_exp_r
+        out.append(
+            ScalePoint2D(
+                r=r, s=s, n_dev=n,
+                tile_rows=hs, tile_cols=(w + ((-w) % s)) // s,
+                t_comp_us=t_comp * 1e6,
+                t_exposed_col_us=t_exp_c * 1e6,
+                t_exposed_row_us=t_exp_r * 1e6,
+                t_step_us=t_step * 1e6,
+                efficiency=t_chip_s / (n * t_step),
+                all_gather=svv.use_all_gather or svh.use_all_gather,
+            )
+        )
+    return out
+
+
+@dataclasses.dataclass
+class ScalePoint2D:
+    r: int
+    s: int
+    n_dev: int
+    tile_rows: int
+    tile_cols: int
+    t_comp_us: float
+    t_exposed_col_us: float
+    t_exposed_row_us: float
+    t_step_us: float
+    efficiency: float
+    all_gather: bool
+
+
+def format_table_2d(points: list[ScalePoint2D]) -> str:
+    lines = [
+        "  r x s    n   tile(rxc)    comp(us)  exp.col  exp.row  "
+        "step(us)   eff",
+    ]
+    for p in points:
+        lines.append(
+            f"{p.r:3d}x{p.s:<3d} {p.n_dev:4d}  "
+            f"{p.tile_rows:5d}x{p.tile_cols:<5d}  "
+            f"{p.t_comp_us:9.1f}  {p.t_exposed_col_us:7.2f}  "
+            f"{p.t_exposed_row_us:7.2f}  {p.t_step_us:8.1f}  "
             f"{p.efficiency:5.2f}"
             + ("  [all-gather]" if p.all_gather else "")
         )

@@ -727,6 +727,18 @@ def make_sharded_avir_executor(
             )
             pallas_strips = False
     if pallas_strips:
+        if in_b >= 2:
+            # 2/4-byte strips run as ONE blocking kernel over the
+            # assembled ext buffer instead of the interior/border V
+            # split: the split's small border-call outputs get staged
+            # by XLA in scoped VMEM (S(1)) on top of the kernel's own
+            # ~12 MB frame, exceeding the 16 MB scoped limit at real
+            # Mosaic compile (measured on v5e: u16 4K->8K strips fail
+            # split, pass unsplit — tools/probe_strip_tpu.py).  The
+            # forfeited halo/compute overlap is immaterial here: these
+            # pipelines' per-byte compute dwarfs the exposed halo
+            # (u16 8K-scale: ~23 us exposed vs ~445 us/step at n=8).
+            svb = dataclasses.replace(svb, b_int0=0, b_int1=0)
         offs_c = jnp.asarray(svb.offs)
         taps_c = jnp.asarray(svb.taps)
         ext_rows = _round_up(
@@ -1005,6 +1017,11 @@ def make_sharded_lancir_executor(
             )
             pallas_strips = False
     if pallas_strips:
+        if plan.in_itemsize >= 2:
+            # Single blocking kernel for 2/4-byte strips (see the AVIR
+            # maker: the V split's border outputs get VMEM-staged by
+            # XLA and blow the scoped limit at real Mosaic compile).
+            svb = dataclasses.replace(svb, b_int0=0, b_int1=0)
         offs_c = jnp.asarray(svb.offs)
         taps_c = jnp.asarray(svb.taps)
         ext_rows = _round_up(

@@ -1,0 +1,96 @@
+"""Decompose + attack the wavefront errdiff scan's per-step overhead.
+
+Round-3 verdict: the wavefront ditherer runs at 3.2-8.3 us per
+diagonal step while the VPU work per step is tens of nanoseconds —
+~100x overhead-bound, the framework's slowest stage.  This probe
+measures, on the real chip:
+
+  1. the skew/unskew data movement alone (scan replaced by identity),
+  2. the full scan at several lax.scan unroll factors,
+  3. the quantize-only floor (round+clamp, no scan) for context.
+
+Usage: /opt/venv/bin/python tools/probe_wavefront.py [sizes...]
+Prints one JSON line per (size, variant).
+"""
+
+import functools
+import json
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+
+import numpy as np
+
+SIZES = {
+    "1080p": (1080, 1920, 3),
+    "8k": (4320, 7680, 3),
+    "tall": (4096, 256, 3),
+}
+
+
+def main(names):
+    import jax
+    import jax.numpy as jnp
+
+    from avir_tpu.ops.dither import (
+        default_dither_jnp,
+        errdiff_dither_wavefront_jnp,
+    )
+    from avir_tpu.utils.benchmarking import device_ms
+
+    for name in names:
+        h, w, c = SIZES[name]
+        T = 2 * (h - 1) + w
+        rng = np.random.default_rng(5)
+        img = (
+            rng.random((h, w, c), dtype=np.float32) * 255.0
+        ).astype(np.float32)
+        d = jax.device_put(img)
+
+        @jax.jit
+        def skew_only(x):
+            # Same skew + unskew as the wavefront, with the scan
+            # replaced by a copy: isolates the roll/transpose cost.
+            shifts = 2 * jnp.arange(h)
+            padded = jnp.pad(x, ((0, 0), (0, T - w), (0, 0)))
+            rolled = jax.vmap(
+                lambda row, s: jnp.roll(row, s, axis=0)
+            )(padded, shifts)
+            S = rolled.transpose(1, 0, 2)
+            O = S + 1.0
+            Ot = O.transpose(1, 0, 2)
+            out = jax.vmap(
+                lambda row, s: jnp.roll(row, -s, axis=0)
+            )(Ot, shifts)
+            return out[:, :w]
+
+        variants = {"skew_only": skew_only,
+                    "quant_only": jax.jit(
+                        lambda x: default_dither_jnp(x, 0, 255.0))}
+        for unroll in (1, 4, 8, 16, 32):
+            variants[f"scan_u{unroll}"] = jax.jit(
+                functools.partial(
+                    errdiff_dither_wavefront_jnp,
+                    trunc_bits=0, out_max=255.0, unroll=unroll,
+                )
+            )
+
+        for vname, fn in variants.items():
+            try:
+                ms, _ = device_ms(fn, d, n=5)
+                rec = {
+                    "size": name, "variant": vname,
+                    "ms": round(ms, 3),
+                    "us_per_step": round(ms * 1e3 / T, 3),
+                }
+            except Exception as e:  # noqa: BLE001
+                rec = {
+                    "size": name, "variant": vname,
+                    "error": f"{type(e).__name__}: {e}"[:300],
+                }
+            print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or list(SIZES))

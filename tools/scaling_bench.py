@@ -124,6 +124,31 @@ def main() -> int:
         )
         print(pred)
         print(act)
+
+        # 2-D rows x cols grids at the same device counts (VERDICT r3
+        # item 5): structural validation of the 2-D executor on the
+        # CPU mesh; the v5e prediction uses model_scaling_2d.
+        if cfg["lancir"]:
+            continue
+        from avir_tpu.parallel.sharded import (
+            make_sharded_avir_executor_2d,
+            pad_cols,
+        )
+
+        for (r, s) in ((2, 2), (2, 4), (4, 2)):
+            if r * s > n:
+                continue
+            mesh = jax.make_mesh((r, s), ("sp", "cp"))
+            fn2 = make_sharded_avir_executor_2d(
+                plan, mesh, rows_axis="sp", cols_axis="cp"
+            )
+            x2 = jax.device_put(pad_cols(pad_rows(src, r), s, 3))
+            best = bench_fn(fn2, x2)
+            eff = base / (best * r * s)
+            print(
+                f"  2d {r}x{s} (n={r * s})  {best * 1e3:8.2f} ms/step"
+                f"   efficiency {eff:.2f}"
+            )
     return 0
 
 
