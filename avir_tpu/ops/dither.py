@@ -92,9 +92,135 @@ def errdiff_dither_jnp(
     return out
 
 
+# Row-block size selection for the wavefront: the skewed scan buffers
+# cost ~(W + 2R) * nb * R * C floats (R = rows per block, nb = H/R
+# blocks).  For wide images R = H (one block, W + 2H - 2 steps, the
+# fewest possible) keeps the blowup factor (W + 2H)/W modest; for
+# TALL-NARROW images that factor is quadratic-in-H waste (ADVICE r3:
+# a 16384x64 image would skew gigabytes), so rows are processed in
+# blocks with the last row's noise carried between blocks — memory
+# turns linear at the cost of more, smaller scan steps
+# ((H/R)(W + 2R) vs W + 2H).
+_WAVEFRONT_BLOWUP = 8
+
+
+def _wavefront_rows(
+    block: jax.Array,
+    n_last,
+    tm: jax.Array,
+    tmi: jax.Array,
+    out_max: jax.Array,
+    unroll: int,
+    w: int,
+    c: int,
+):
+    """Wavefront-quantize one row block [R, W*C] (FLAT interleaved)
+    given the previous block's last-row noise ``n_last`` [W*C] (or
+    None for the top of the image).  Returns (quantized block,
+    this block's last-row noise [W*C]).
+
+    Layout note (measured, tools/probe_wavefront.py): every
+    materialized array here is 2-D with a LARGE minor dim.  The
+    original [.., .., C] formulation spent 73-90% of its time in the
+    skew/unskew copies because C-minor arrays tile-pad 3 -> 128 lanes
+    on TPU (42x the bytes); the flat layout removed ~90% of the
+    wavefront's runtime."""
+    r = block.shape[0]
+    T = 2 * (r - 1) + w
+    R = T * c
+    s = 2 * c
+
+    # Skew (GATHER-FREE): row y shifted right by 2c*y via the pad +
+    # flat-reshape trick — padding each row to width R + 2c and
+    # re-viewing the flat buffer with row stride R makes every row
+    # start 2c lanes later than the previous one:
+    #   D[y, j] = P_flat[y*R + j] = P[y, j - 2c*y]   (zeros when the
+    #   index crosses into the previous row's zero tail).
+    # Then ONE pure 2-D transpose (XLA's tiled transpose kernel) and a
+    # free reshape give the PLANAR scan layout S[t] = [c, r] (y in
+    # lanes).  Measured (tools/probe_wavefront_ops.py): the per-row
+    # jnp.roll skew lowered to gathers, and any 3-D permute with the
+    # tiny c minor dim ran ~10 GB/s — both formulations were 3-12x
+    # slower end to end than this one.
+    P = jnp.pad(block, ((0, 0), (0, R + s - w * c)))  # [r, R+s]
+    D = P.reshape(-1)[: r * R].reshape(r, R)
+    S = D.T.reshape(T, c, r)
+
+    # Validity mask, precomputed and streamed with S; broadcasts over
+    # the c sublanes in-step, no repeat.
+    x_of = jnp.arange(T)[:, None] - 2 * jnp.arange(r)[None, :]
+    M = (x_of >= 0) & (x_of < w)  # [T, r]
+
+    emit_last = n_last is not None
+    if emit_last:
+        # nlp[(j+1)*c + ch] = n_last[j*c + ch] (zero outside): row 0
+        # of this block reads the previous block's noise at columns
+        # x-1 / x / x+1, i.e. nlp[t*c .. (t+3)*c) at step t (x = t
+        # for row 0).
+        nlp = jnp.zeros(((T + 2) * c,), block.dtype)
+        nlp = nlp.at[c : (w + 1) * c].set(n_last)
+
+    def down(a, head):  # y -> y-1 alignment; ``head`` fills row 0
+        return jnp.concatenate([head, a[:, :-1]], axis=1)
+
+    zhead = jnp.zeros((c, 1), block.dtype)
+
+    def step(carry, inp):
+        n1, n2, n3 = carry  # noise at t-1, t-2, t-3: [c, r] planar
+        if emit_last:
+            s_t, m_t, t = inp
+            nl3 = jax.lax.dynamic_slice(nlp, (t * c,), (3 * c,))
+            # row 0, step t: (prev, x-1)=nl3[0:c], (prev, x)=c:2c,
+            # (prev, x+1)=2c:3c
+            h3 = nl3[:c, None]
+            h2 = nl3[c : 2 * c, None]
+            h1 = nl3[2 * c :, None]
+        else:
+            s_t, m_t = inp
+            h1 = h2 = h3 = zhead
+        cur = (
+            s_t
+            + W_CUR_RIGHT * n1               # (y, x-1)
+            + W_NEXT_LEFT * down(n1, h1)     # (y-1, x+1)
+            + W_NEXT_CENTER * down(n2, h2)   # (y-1, x)
+            + W_NEXT_RIGHT * down(n3, h3)    # (y-1, x-1)
+        )
+        z0 = round_biased(cur * tmi) * tm
+        # Out-of-image cells must contribute ZERO noise (the reference
+        # discards diffusion past the row ends, avir.h:4504-4524).
+        noise = jnp.where(m_t[None, :], cur - z0, 0.0)
+        out_t = jnp.clip(z0, 0.0, out_max)
+        ys = (out_t, noise[:, -1]) if emit_last else out_t
+        return (noise, n1, n2), ys
+
+    zero = jnp.zeros((c, r), block.dtype)
+    xs = (S, M, jnp.arange(T)) if emit_last else (S, M)
+    # ``unroll``: amortizes the While-loop iteration overhead across
+    # several diagonals per trip (measured: tools/probe_wavefront.py).
+    _, ys = jax.lax.scan(
+        step, (zero, zero, zero), xs, unroll=unroll
+    )
+    if emit_last:
+        O, ns = ys  # ns: [T, c]
+        nf = ns[2 * (r - 1) : 2 * (r - 1) + w].reshape(w * c)
+    else:
+        O, nf = ys, None
+    # Unskew (same trick, inverse): one 2-D transpose back to the
+    # skewed row layout, then re-view the flat buffer with row stride
+    # R + 2c, which walks 2c further into each row:
+    # out[y, j] = Ot[y, j + 2c*y].
+    Ot = O.reshape(R, r).T  # [r, R]
+    F = jnp.concatenate(
+        [Ot.reshape(-1), jnp.zeros((r * s,), Ot.dtype)]
+    )
+    out = F.reshape(r, R + s)[:, : w * c]
+    return out, nf
+
+
 def errdiff_dither_wavefront_jnp(
     img: jax.Array, trunc_bits: int, out_max: float,
     unroll: int = 8,
+    block_rows: int | None = None,
 ) -> jax.Array:
     """Anti-diagonal WAVEFRONT formulation of the error-diffusion
     recurrence — same weights and scan-order dependency structure as
@@ -105,65 +231,54 @@ def errdiff_dither_wavefront_jnp(
     live at t-1, t-3, t-2, and t-1 — so ALL pixels on one diagonal are
     mutually independent and the image quantizes in W + 2H - 2 scan
     steps of [H, C]-vector work instead of H*W sequential pixel steps
-    (the nested-scan variant above).  The skewed buffer costs
-    ~(W + 2H) * H * C floats of HBM — fine up to 8K on a 16 GB chip.
+    (the nested-scan variant above).
+
+    Tall-narrow images (2H >> W) take the ROW-BLOCKED wavefront
+    automatically (``_WAVEFRONT_BLOWUP``): blocks of ``block_rows``
+    rows scan in sequence with the last row's noise carried across,
+    keeping memory linear in the image size.  ``block_rows`` overrides
+    the auto choice (W-sized blocks balance step count ~4H against
+    buffer width for extreme aspect ratios).
 
     Exactness: the diffusion sums are reassociated (one fused sum per
     pixel instead of the serial carry accumulation), so results can
     differ from the sequential formulation by float-rounding of the
     diffused noise — bounded well under 1 output LSB; tests gate both
-    variants against the f64 host oracle at <= 1 LSB."""
+    variants against the f64 host oracle at <= 1 LSB.  The blocked and
+    single-block paths compute bit-identical pixels (same sums, same
+    order)."""
     h, w, c = img.shape
     tm = jnp.float32(trunc_mul(trunc_bits, out_max))
     tmi = jnp.float32(1.0) / tm
     out_max = jnp.float32(out_max)
-    T = 2 * (h - 1) + w
 
-    # Skew: S[t, y] = img[y, t - 2y] (invalid cells zero).
-    shifts = 2 * jnp.arange(h)
-    padded = jnp.pad(img, ((0, 0), (0, T - w), (0, 0)))
-    rolled = jax.vmap(lambda row, s: jnp.roll(row, s, axis=0))(
-        padded, shifts
-    )
-    S = rolled.transpose(1, 0, 2)  # [T, h, c]
-    tt = jnp.arange(T)[:, None]
-    yy = jnp.arange(h)[None, :]
-    x_of = tt - 2 * yy
-    M = (x_of >= 0) & (x_of < w)  # [T, h] validity
+    if block_rows is None:
+        if 2 * h <= (_WAVEFRONT_BLOWUP - 1) * w:
+            block_rows = h  # wide image: one block, fewest steps
+        else:
+            block_rows = max(8, ((_WAVEFRONT_BLOWUP - 1) * w) // 2)
+    block_rows = min(block_rows, h)
 
-    def down(a):  # y -> y-1 alignment (row y reads row y-1's noise)
-        return jnp.concatenate(
-            [jnp.zeros((1, c), a.dtype), a[:-1]], axis=0
+    flat = img.reshape(h, w * c)
+    if block_rows >= h:
+        out, _ = _wavefront_rows(
+            flat, None, tm, tmi, out_max, unroll, w, c
         )
+        return out.reshape(h, w, c)
 
-    def step(carry, inp):
-        n1, n2, n3 = carry  # noise at t-1, t-2, t-3: [h, c]
-        s_t, m_t = inp
-        cur = (
-            s_t
-            + W_CUR_RIGHT * n1          # (y, x-1)
-            + W_NEXT_LEFT * down(n1)    # (y-1, x+1)
-            + W_NEXT_CENTER * down(n2)  # (y-1, x)
-            + W_NEXT_RIGHT * down(n3)   # (y-1, x-1)
+    nb = -(-h // block_rows)
+    pad = nb * block_rows - h
+    if pad:
+        flat = jnp.pad(flat, ((0, pad), (0, 0)))
+    blocks = flat.reshape(nb, block_rows, w * c)
+
+    def blk_step(n_last, block):
+        out_b, n_next = _wavefront_rows(
+            block, n_last, tm, tmi, out_max, unroll, w, c
         )
-        z0 = round_biased(cur * tmi) * tm
-        # Out-of-image cells must contribute ZERO noise (the reference
-        # discards diffusion past the row ends, avir.h:4504-4524).
-        noise = jnp.where(m_t[:, None], cur - z0, 0.0)
-        return (noise, n1, n2), jnp.clip(z0, 0.0, out_max)
+        return n_next, out_b
 
-    zero = jnp.zeros((h, c), img.dtype)
-    # ``unroll``: the scan is latency-bound (each of the W+2H-2 steps
-    # does only [H, C] of VPU work but pays the XLA While-loop
-    # iteration overhead); unrolling amortizes that overhead across
-    # several diagonals per loop trip (measured on v5e:
-    # tools/probe_wavefront.py, docs/perf_analysis.md).
     _, O = jax.lax.scan(
-        step, (zero, zero, zero), (S, M), unroll=unroll
+        blk_step, jnp.zeros((w * c,), flat.dtype), blocks
     )
-    # Unskew: out[y, x] = O[2y + x, y].
-    Ot = O.transpose(1, 0, 2)  # [h, T, c]
-    out = jax.vmap(lambda row, s: jnp.roll(row, -s, axis=0))(
-        Ot, shifts
-    )
-    return out[:, :w]
+    return O.reshape(nb * block_rows, w, c)[:h]

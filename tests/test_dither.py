@@ -158,3 +158,48 @@ def test_wavefront_randomized_sweep():
         step = (peak / (int(peak) >> tb) if tb else 1.0) * 1.001
         assert np.abs(wav - seq).max() <= step, (h, w, c, tb, peak)
         assert np.abs(wav - oracle).max() <= step, (h, w, c, tb, peak)
+
+
+def test_wavefront_blocked_matches_global():
+    """The row-blocked wavefront (tall-narrow auto-route, ADVICE r3)
+    computes bit-identical pixels to the single-block wavefront: same
+    per-pixel sums in the same order, with the inter-block noise
+    carried through the gather head."""
+    rng = np.random.default_rng(17)
+    for h, w, c, tb, br in [
+        (64, 16, 3, 0, 16),
+        (61, 16, 3, 0, 16),   # pad rows
+        (40, 8, 1, 4, 8),     # truncation + single channel
+        (33, 5, 2, 0, 7),     # odd everything
+    ]:
+        img = (rng.random((h, w, c)) * 255.0).astype(np.float32)
+        glob = np.asarray(
+            errdiff_dither_wavefront_jnp(
+                jnp.asarray(img), tb, 255.0, block_rows=h
+            )
+        )
+        blk = np.asarray(
+            errdiff_dither_wavefront_jnp(
+                jnp.asarray(img), tb, 255.0, block_rows=br
+            )
+        )
+        np.testing.assert_array_equal(glob, blk)
+        oracle = np_errdiff(img.astype(np.float64), tb, 255.0)
+        step = 255.0 / (255 >> tb) if tb else 1.0
+        assert np.abs(blk - oracle).max() <= step
+
+
+def test_wavefront_tall_narrow_autoroutes_blocked():
+    """A tall-narrow image must NOT skew quadratic buffers: the auto
+    route takes row blocks, and the result still matches the oracle."""
+    from avir_tpu.ops.dither import _WAVEFRONT_BLOWUP
+
+    rng = np.random.default_rng(23)
+    h, w = 512, 16  # 2h/w = 64 >> blowup-1
+    assert 2 * h > (_WAVEFRONT_BLOWUP - 1) * w
+    img = (rng.random((h, w, 3)) * 255.0).astype(np.float32)
+    out = np.asarray(
+        errdiff_dither_wavefront_jnp(jnp.asarray(img), 0, 255.0)
+    )
+    oracle = np_errdiff(img.astype(np.float64), 0, 255.0)
+    assert np.abs(out - oracle).max() <= 1.0

@@ -50,20 +50,24 @@ def main(names):
 
         @jax.jit
         def skew_only(x):
-            # Same skew + unskew as the wavefront, with the scan
-            # replaced by a copy: isolates the roll/transpose cost.
-            shifts = 2 * jnp.arange(h)
-            padded = jnp.pad(x, ((0, 0), (0, T - w), (0, 0)))
-            rolled = jax.vmap(
-                lambda row, s: jnp.roll(row, s, axis=0)
-            )(padded, shifts)
-            S = rolled.transpose(1, 0, 2)
+            # Same FLAT pad+reshape skew/unskew as the wavefront
+            # (round 4: the channels-minor layout tile-padded 3 -> 128
+            # lanes, and per-row jnp.roll lowered to gathers — the two
+            # were 73-90% of the runtime), with the scan replaced by a
+            # copy: isolates the data-movement cost.
+            flat = x.reshape(h, w * c)
+            R, s = T * c, 2 * c
+            P = jnp.pad(flat, ((0, 0), (0, R + s - w * c)))
+            D = P.reshape(-1)[: h * R].reshape(h, R)
+            S = D.reshape(h, T, c).transpose(1, 0, 2).reshape(
+                T, h * c
+            )
             O = S + 1.0
-            Ot = O.transpose(1, 0, 2)
-            out = jax.vmap(
-                lambda row, s: jnp.roll(row, -s, axis=0)
-            )(Ot, shifts)
-            return out[:, :w]
+            Ot = O.reshape(T, h, c).transpose(1, 0, 2).reshape(h, R)
+            F = jnp.concatenate(
+                [Ot.reshape(-1), jnp.zeros((h * s,), Ot.dtype)]
+            )
+            return F.reshape(h, R + s)[:, : w * c].reshape(h, w, c)
 
         variants = {"skew_only": skew_only,
                     "quant_only": jax.jit(
