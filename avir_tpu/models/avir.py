@@ -19,13 +19,16 @@ from .runtime import make_avir_executor
 
 
 # "errdiff" auto-route crossover (output pixels).  Measured on v5e
-# (tools/probe_errdiff.py): the anti-diagonal wavefront scan wins at
-# EVERY size — VGA 1.65 ms vs 8.2 ms of host scan alone (+ transfer),
-# 1080p 13.1 vs 48.8 (+1.5 s tunnel / ~3 ms PCIe transfer), 4K 51.5
-# vs 198.5 — and keeps the result on device, so the crossover is 0:
-# "errdiff" always routes to the wavefront on device engines.  The
-# native host scan remains the engine="host" / precision="f64" path
-# (and the semantics oracle the wavefront is tested against).
+# (tools/probe_errdiff.py, round-4 numbers tools/probe_wavefront.py):
+# the anti-diagonal wavefront scan wins at EVERY size — 1080p 2.16 ms
+# vs 48.8 ms of host scan alone (+ transfer), 8K 64.4 ms — and keeps
+# the result on device, so the crossover is 0: "errdiff" always
+# routes to the wavefront on device engines (which internally pick
+# the Pallas diagonal-scan kernel on TPU, the lax.scan formulation
+# elsewhere, and the row-blocked variant for tall-narrow outputs —
+# ops/dither.py).  The native host scan remains the engine="host" /
+# precision="f64" path (and the semantics oracle the wavefront is
+# tested against).
 _ERRDIFF_WAVEFRONT_MIN_PX = 0
 
 

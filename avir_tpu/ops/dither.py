@@ -104,6 +104,33 @@ def errdiff_dither_jnp(
 _WAVEFRONT_BLOWUP = 8
 
 
+def _skew_rows(block: jax.Array, w: int, c: int):
+    """[R_rows, W*C] flat interleaved -> skewed planar diagonals
+    S [T, C*R_rows] (row t = diagonal t as C planes of R_rows each),
+    gather-free: the pad + flat-reshape trick shifts row y right by
+    2c*y (one linear copy), then ONE pure 2-D transpose (XLA's tiled
+    transpose kernel) reaches the planar layout."""
+    r = block.shape[0]
+    T = 2 * (r - 1) + w
+    R = T * c
+    s = 2 * c
+    P = jnp.pad(block, ((0, 0), (0, R + s - w * c)))  # [r, R+s]
+    D = P.reshape(-1)[: r * R].reshape(r, R)
+    return D.T.reshape(T, c * r)
+
+
+def _unskew_rows(O2: jax.Array, r: int, w: int, c: int):
+    """Inverse of ``_skew_rows``: O [T, C*R_rows] -> [R_rows, W*C]."""
+    T = 2 * (r - 1) + w
+    R = T * c
+    s = 2 * c
+    Ot = O2.reshape(R, r).T  # [r, R]
+    F = jnp.concatenate(
+        [Ot.reshape(-1), jnp.zeros((r * s,), Ot.dtype)]
+    )
+    return F.reshape(r, R + s)[:, : w * c]
+
+
 def _wavefront_rows(
     block: jax.Array,
     n_last,
@@ -142,9 +169,7 @@ def _wavefront_rows(
     # jnp.roll skew lowered to gathers, and any 3-D permute with the
     # tiny c minor dim ran ~10 GB/s — both formulations were 3-12x
     # slower end to end than this one.
-    P = jnp.pad(block, ((0, 0), (0, R + s - w * c)))  # [r, R+s]
-    D = P.reshape(-1)[: r * R].reshape(r, R)
-    S = D.T.reshape(T, c, r)
+    S = _skew_rows(block, w, c).reshape(T, c, r)
 
     # Validity mask, precomputed and streamed with S; broadcasts over
     # the c sublanes in-step, no repeat.
@@ -205,15 +230,7 @@ def _wavefront_rows(
         nf = ns[2 * (r - 1) : 2 * (r - 1) + w].reshape(w * c)
     else:
         O, nf = ys, None
-    # Unskew (same trick, inverse): one 2-D transpose back to the
-    # skewed row layout, then re-view the flat buffer with row stride
-    # R + 2c, which walks 2c further into each row:
-    # out[y, j] = Ot[y, j + 2c*y].
-    Ot = O.reshape(R, r).T  # [r, R]
-    F = jnp.concatenate(
-        [Ot.reshape(-1), jnp.zeros((r * s,), Ot.dtype)]
-    )
-    out = F.reshape(r, R + s)[:, : w * c]
+    out = _unskew_rows(O.reshape(T, c * r), r, w, c)
     return out, nf
 
 
@@ -221,6 +238,9 @@ def errdiff_dither_wavefront_jnp(
     img: jax.Array, trunc_bits: int, out_max: float,
     unroll: int = 8,
     block_rows: int | None = None,
+    engine: str = "auto",
+    interpret: bool = False,
+    pallas_chunk: int | None = None,
 ) -> jax.Array:
     """Anti-diagonal WAVEFRONT formulation of the error-diffusion
     recurrence — same weights and scan-order dependency structure as
@@ -248,7 +268,9 @@ def errdiff_dither_wavefront_jnp(
     single-block paths compute bit-identical pixels (same sums, same
     order)."""
     h, w, c = img.shape
-    tm = jnp.float32(trunc_mul(trunc_bits, out_max))
+    out_max_py = float(out_max)
+    tm_py = trunc_mul(trunc_bits, out_max_py)
+    tm = jnp.float32(tm_py)
     tmi = jnp.float32(1.0) / tm
     out_max = jnp.float32(out_max)
 
@@ -261,6 +283,25 @@ def errdiff_dither_wavefront_jnp(
 
     flat = img.reshape(h, w * c)
     if block_rows >= h:
+        # Engine pick for the diagonal scan itself: the Pallas kernel
+        # (ops/pallas/wavefront_kernel.py) keeps the noise carries in
+        # VMEM scratch and streams diagonal chunks, removing the XLA
+        # While loop's per-step slice/update overhead (measured ~4x
+        # the VPU work at 8K).  lax.scan remains the portable path
+        # (CPU/GPU backends and the row-blocked tall-narrow route).
+        use_pallas = engine == "pallas" or interpret or (
+            engine == "auto"
+            and jax.default_backend() not in ("cpu", "gpu")
+        )
+        if use_pallas:
+            from .pallas.wavefront_kernel import wavefront_scan_pallas
+
+            S = _skew_rows(flat.astype(jnp.float32), w, c)
+            O = wavefront_scan_pallas(
+                S, w, c, tm_py, 1.0 / tm_py, out_max_py,
+                interpret=interpret, chunk=pallas_chunk,
+            )
+            return _unskew_rows(O, h, w, c).reshape(h, w, c)
         out, _ = _wavefront_rows(
             flat, None, tm, tmi, out_max, unroll, w, c
         )

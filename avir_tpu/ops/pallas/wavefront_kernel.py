@@ -1,0 +1,173 @@
+"""Pallas TPU kernel for the anti-diagonal wavefront errdiff scan.
+
+The lax.scan formulation of the wavefront (ops/dither.py) is bound by
+the While loop's per-step xs slice / ys update machinery (~3 us per
+diagonal at 8K, tools/probe_wavefront_ops.py) while the VPU work per
+step is ~0.1 us.  This kernel streams the skewed planar diagonals
+S [T, C*R] through VMEM in chunks of K, keeps the three noise carries
+resident in VMEM scratch across the (sequential) grid, and runs the K
+diagonal steps of a chunk as straight-line VPU code — the scan becomes
+VPU-bound instead of loop-overhead-bound.
+
+Each diagonal is processed as an (8, G) value (G = padded C*R/8) so
+all eight sublanes work: the first (1, C*R) formulation ran one
+sublane and measured 8x slower at 8K.  The flat shift by one position
+(row y reads row y-1 within each channel plane) carries the last lane
+of each sublane row into the next row's head.
+
+Semantics are identical to ``ops/dither._wavefront_rows`` (single-block
+path): same weights, same reassociated per-pixel sums, same masked
+noise discard at row ends (the reference's behavior,
+/root/reference/avir.h:4504-4524).  The carry hand-off across chunks is
+exact — scratch persists between grid steps on the sequentially
+executed TPU grid.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..dither import (
+    W_CUR_RIGHT,
+    W_NEXT_CENTER,
+    W_NEXT_LEFT,
+    W_NEXT_RIGHT,
+)
+
+_SUB = 8  # sublane count: each diagonal computes as (8, G)
+
+
+def _kernel(
+    s_ref, o_ref, n1_ref, n2_ref, n3_ref, *,
+    K: int, w: int, c: int, r: int, G: int,
+    tm: float, tmi: float, out_max: float,
+):
+    tau = pl.program_id(0)
+
+    @pl.when(tau == 0)
+    def _init():
+        z = jnp.zeros((_SUB, G), jnp.float32)
+        n1_ref[...] = z
+        n2_ref[...] = z
+        n3_ref[...] = z
+
+    # Flat planar index j = sub*G + lane = ch*r + y (C planes of R
+    # rows, ops/dither._skew_rows; trailing pad lanes j >= c*r are
+    # permanently masked).
+    jj = (
+        jax.lax.broadcasted_iota(jnp.int32, (_SUB, G), 0) * G
+        + jax.lax.broadcasted_iota(jnp.int32, (_SUB, G), 1)
+    )
+    yy2 = 2 * (jj % r)
+    dead = jj >= c * r
+    head0 = ((jj % r) == 0) | dead
+    lane0 = (
+        jax.lax.broadcasted_iota(jnp.int32, (_SUB, G), 1) == 0
+    )
+    zero = jnp.zeros((_SUB, G), jnp.float32)
+
+    def down(a):
+        # Row y reads row y-1: shift ONE flat position, via two
+        # native rotates and selects ONLY (Mosaic rejects concats /
+        # slices with mismatched lane offsets).  Lane rotate gives
+        # b[i, l] = a[i, l-1] with b[i, 0] = a[i, G-1]; lane 0 must
+        # instead take the PREVIOUS sublane row's last lane, i.e.
+        # b[i-1, 0] — a sublane rotate of b selected at lane 0.  The
+        # one wrong wraparound cell (sublane 0, lane 0 = flat j 0) is
+        # zeroed by head0 (j % r == 0).  Channel-plane heads (y = 0)
+        # and pad lanes read zero (also kills the cross-plane leak).
+        b = pltpu.roll(a, 1, 1)
+        colv = pltpu.roll(b, 1, 0)
+        sh = jnp.where(lane0, colv, b)
+        return jnp.where(head0, zero, sh)
+
+    a1 = n1_ref[...]
+    a2 = n2_ref[...]
+    a3 = n3_ref[...]
+    for k in range(K):
+        t = tau * K + k
+        s_t = s_ref[k]
+        cur = (
+            s_t
+            + W_CUR_RIGHT * a1
+            + W_NEXT_LEFT * down(a1)
+            + W_NEXT_CENTER * down(a2)
+            + W_NEXT_RIGHT * down(a3)
+        )
+        v = cur * tmi
+        z0 = jnp.where(
+            v >= 0, jnp.floor(v + 0.5), -jnp.floor(0.5 - v)
+        ) * tm
+        x_of = t - yy2
+        m = (x_of >= 0) & (x_of < w) & ~dead
+        noise = jnp.where(m, cur - z0, 0.0)
+        o_ref[k] = jnp.clip(z0, 0.0, out_max)
+        a1, a2, a3 = noise, a1, a2
+    n1_ref[...] = a1
+    n2_ref[...] = a2
+    n3_ref[...] = a3
+
+
+def wavefront_scan_pallas(
+    S: jax.Array,
+    w: int,
+    c: int,
+    tm: float,
+    tmi: float,
+    out_max: float,
+    interpret: bool = False,
+    chunk: int | None = None,
+) -> jax.Array:
+    """Quantize the skewed planar diagonal stream S [T, C*R] (row t =
+    diagonal t as C planes of R rows each) -> same-shape float32
+    output.  T is padded here to the chunk size; padded steps are
+    fully masked by construction (their x offsets fall past every
+    row's end)."""
+    T, cr = S.shape
+    r = cr // c
+    # Lane-align G so the per-step rotates never cross a ragged tile
+    # edge (the padding lives at the END of the flat planar vector and
+    # stays dead-masked).
+    G = -(-(-(-cr // _SUB)) // 128) * 128
+    # Chunk size: in+out blocks double-buffered within ~8 MB VMEM.
+    # The K diagonal steps are UNROLLED straight-line code, so K also
+    # bounds program size; ``chunk`` overrides (tests use small chunks
+    # — interpret mode pays per-op Python overhead on the unroll).
+    K = chunk or max(
+        8, min(128, (8 << 20) // (16 * _SUB * G)) // 8 * 8
+    )
+    T_pad = -(-T // K) * K
+    if T_pad > T or G * _SUB > cr:
+        S = jnp.pad(S, ((0, T_pad - T), (0, G * _SUB - cr)))
+    S3 = S.reshape(T_pad, _SUB, G)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel,
+            K=K, w=w, c=c, r=r, G=G,
+            tm=float(tm), tmi=float(tmi), out_max=float(out_max),
+        ),
+        grid=(T_pad // K,),
+        in_specs=[
+            pl.BlockSpec((K, _SUB, G), lambda tau: (tau, 0, 0))
+        ],
+        out_specs=pl.BlockSpec((K, _SUB, G), lambda tau: (tau, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (T_pad, _SUB, G), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_SUB, G), jnp.float32),
+            pltpu.VMEM((_SUB, G), jnp.float32),
+            pltpu.VMEM((_SUB, G), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(S3)
+    return out.reshape(T_pad, _SUB * G)[:T, :cr]

@@ -2,6 +2,7 @@
 reformulation of error diffusion vs the sequential scan and the f64
 host specification."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -203,3 +204,50 @@ def test_wavefront_tall_narrow_autoroutes_blocked():
     )
     oracle = np_errdiff(img.astype(np.float64), 0, 255.0)
     assert np.abs(out - oracle).max() <= 1.0
+
+
+def test_wavefront_pallas_kernel_interpret():
+    """The Pallas diagonal-scan kernel (VMEM-resident carries, chunked
+    streaming) must match the lax.scan wavefront bit-for-bit —
+    including the chunk-boundary carry hand-off and the masked padded
+    tail steps."""
+    rng = np.random.default_rng(31)
+    for h, w, c, tb in [
+        (64, 96, 3, 0),
+        (50, 40, 4, 0),    # odd sizes, T % K != 0
+        (32, 48, 1, 4),    # truncation, single channel
+        (40, 64, 2, 0),
+    ]:
+        img = (rng.random((h, w, c)) * 255.0).astype(np.float32)
+        scan = np.asarray(
+            errdiff_dither_wavefront_jnp(
+                jnp.asarray(img), tb, 255.0, engine="xla"
+            )
+        )
+        pk = np.asarray(
+            errdiff_dither_wavefront_jnp(
+                jnp.asarray(img), tb, 255.0, interpret=True,
+                pallas_chunk=16,
+            )
+        )
+        np.testing.assert_array_equal(scan, pk, err_msg=f"{(h,w,c,tb)}")
+
+
+def test_wavefront_pallas_kernel_vmap():
+    """resize_batch vmaps the executor over images; the kernel's
+    scratch carries must reset per batch element (grid batching)."""
+    rng = np.random.default_rng(37)
+    imgs = (rng.random((3, 48, 64, 3)) * 255.0).astype(np.float32)
+    fn = jax.vmap(
+        lambda x: errdiff_dither_wavefront_jnp(
+            x, 0, 255.0, interpret=True, pallas_chunk=16
+        )
+    )
+    got = np.asarray(fn(jnp.asarray(imgs)))
+    for i in range(3):
+        want = np.asarray(
+            errdiff_dither_wavefront_jnp(
+                jnp.asarray(imgs[i]), 0, 255.0, engine="xla"
+            )
+        )
+        np.testing.assert_array_equal(got[i], want, err_msg=str(i))

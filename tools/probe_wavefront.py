@@ -71,12 +71,20 @@ def main(names):
 
         variants = {"skew_only": skew_only,
                     "quant_only": jax.jit(
-                        lambda x: default_dither_jnp(x, 0, 255.0))}
-        for unroll in (1, 4, 8, 16, 32):
+                        lambda x: default_dither_jnp(x, 0, 255.0)),
+                    "pallas": jax.jit(
+                        functools.partial(
+                            errdiff_dither_wavefront_jnp,
+                            trunc_bits=0, out_max=255.0,
+                            engine="pallas",
+                        )
+                    )}
+        for unroll in (1, 8):
             variants[f"scan_u{unroll}"] = jax.jit(
                 functools.partial(
                     errdiff_dither_wavefront_jnp,
                     trunc_bits=0, out_max=255.0, unroll=unroll,
+                    engine="xla",
                 )
             )
 
