@@ -38,7 +38,7 @@ from ..plan.lancir_plan import LancirPlan
 from ..plan.plan import ResizePlan
 
 
-def _narrow_lop(h_op, lop, c: int):
+def _narrow_lop(h_op, lop, c: int, in_bytes: int = 1):
     """Rebuild the lane-blocked H operator at the narrow tile when the
     route ends up UNFUSED: apply_lanes_pallas streams the dense
     [win_l, tile*c] bf16 tap blocks, which at the wide upsize tile
@@ -48,7 +48,7 @@ def _narrow_lop(h_op, lop, c: int):
     base = pick_lane_tile(h_op, c, wide=False)
     if lop.tile == base:
         return lop
-    return lane_block_banded(h_op, c, tile=base)
+    return lane_block_banded(h_op, c, tile=base, in_bytes=in_bytes)
 
 
 def _pad_for_fused(a: jax.Array, vop, lop) -> jax.Array:
@@ -65,7 +65,7 @@ def _pad_for_fused(a: jax.Array, vop, lop) -> jax.Array:
     return a
 
 
-def _split_lane_ops(h_op, lop, c: int):
+def _split_lane_ops(h_op, lop, c: int, in_bytes: int = 1):
     """(lop_interior, lop_boundary) when splitting the lane blocks into
     interior and boundary kernel calls tightens the interior chunk
     window by >= 128 lanes, else (None, None).
@@ -81,11 +81,14 @@ def _split_lane_ops(h_op, lop, c: int):
     from ..ops.lanes import lane_block_banded
 
     interior = list(range(1, lop.n_blocks - 1))
-    cand = lane_block_banded(h_op, c, tile=lop.tile, block_list=interior)
+    cand = lane_block_banded(
+        h_op, c, tile=lop.tile, block_list=interior, in_bytes=in_bytes
+    )
     if cand.chunk_rel is None or cand.win_c > lop.win_c - 128:
         return None, None
     bnd = lane_block_banded(
-        h_op, c, tile=lop.tile, block_list=[0, lop.n_blocks - 1]
+        h_op, c, tile=lop.tile, block_list=[0, lop.n_blocks - 1],
+        in_bytes=in_bytes,
     )
     return cand, bnd
 
@@ -369,7 +372,7 @@ def make_avir_executor(
         if not fused and mode1 == "int8":
             mode1, mode2 = resolve_modes(precision, in_exact_bf16)
         if not fused:
-            lop = _narrow_lop(plan.h.op, lop, c)
+            lop = _narrow_lop(plan.h.op, lop, c, in_bytes=in_bytes)
     mv, mh = (mode1, mode2) if forder == "vh" else (mode2, mode1)
 
     # Gamma-route selection for the int8 fused path.  Three
@@ -454,7 +457,9 @@ def make_avir_executor(
     lop_int = lop_bnd = None
     split_concat = False
     if fused and not use_ring:
-        lop_int, lop_bnd = _split_lane_ops(plan.h.op, lop, c)
+        lop_int, lop_bnd = _split_lane_ops(
+            plan.h.op, lop, c, in_bytes=in_bytes
+        )
         if not split_lanes and lop_int is not None:
             split_concat = _concat_split_ok(
                 vop.n_blocks, vop.tile, lop, lop_int,
@@ -635,12 +640,14 @@ def make_lancir_executor(
         if not fused and mode1 == "int8":
             mode1, mode2 = resolve_modes(precision, in_exact_bf16)
         if not fused:
-            lop = _narrow_lop(plan.h, lop, c)
+            lop = _narrow_lop(plan.h, lop, c, in_bytes=in_bytes)
     mv, mh = (mode1, mode2) if forder == "vh" else (mode2, mode1)
     lop_int = lop_bnd = None
     split_concat = False
     if fused:
-        lop_int, lop_bnd = _split_lane_ops(plan.h, lop, c)
+        lop_int, lop_bnd = _split_lane_ops(
+            plan.h, lop, c, in_bytes=in_bytes
+        )
         # split_lanes=False marks vmapped callers (batch path): use the
         # vmap-safe compact+concat assembly when modeled profitable,
         # else no split (see make_avir_executor).

@@ -68,6 +68,10 @@ def _load():
             ]
             lib.avir_free.restype = None
             lib.avir_free.argtypes = [ctypes.c_void_p]
+            lib.avir_xs128_fill.restype = None
+            lib.avir_xs128_fill.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint32,
+            ]
             _lib = lib
         except Exception:
             _lib = None
@@ -95,6 +99,17 @@ def errdiff_dither(
     from ..models.host_reference import errdiff_dither as np_errdiff
 
     return np_errdiff(buf, trunc_bits, out_max)
+
+
+def xs128_words(n: int, seed: int):
+    """n words of the xorshift128 test PRNG (bit-exact vs the golden
+    generator and tests/conftest.py), or None without the native lib."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty(n, dtype=np.uint32)
+    lib.avir_xs128_fill(out.ctypes.data, n, seed & 0xFFFFFFFF)
+    return out
 
 
 def png_encode(pixels: np.ndarray) -> bytes:

@@ -141,6 +141,19 @@ class BlockedBandedOp:
         return 2 * self.n_blocks * self.tile * self.win
 
 
+def _bf16_split_np(dense: np.ndarray):
+    """(hi, lo) error-free bf16 split in HOST numpy (ml_dtypes),
+    bit-identical to the device cast chain hi = bf16(x);
+    lo = bf16(x - f32(hi)) — round-to-nearest-even both ways.  Host
+    numpy keeps executor builds off the device (each eager device op
+    paid a transfer round trip, tools/probe_coldstart.py)."""
+    import ml_dtypes
+
+    hi = dense.astype(ml_dtypes.bfloat16)
+    lo = (dense - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return hi, lo
+
+
 def block_banded(
     op: BandedOp,
     tile: int | None = None,
@@ -227,27 +240,46 @@ def block_banded(
     for j in range(width):
         dense[b_of, r_of, col0 + j] = op.taps[:, j]
 
-    taps = jnp.asarray(dense)
-    taps_hi = taps.astype(jnp.bfloat16)
-    taps_lo = (taps - taps_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    # Split-bf16 tap planes computed in HOST numpy (ml_dtypes), not
+    # eager jnp: each eager device op would pay a transfer round trip
+    # at executor-build time (measured: the u16 flagship's build was
+    # 75 s through this rig's tunneled chip vs 0.7 s host-side —
+    # tools/probe_coldstart.py).  Values are bit-identical
+    # (round-to-nearest-even f32->bf16 both ways).
+    hi_np, lo_np = _bf16_split_np(dense)
+    # Tensors stay HOST numpy in the dataclass: jit traces embed them
+    # as constants, so only the planes a compiled route actually
+    # references are ever transferred (the fused route uses the
+    # chunked/limb forms — eagerly device_put-ing every full-tap plane
+    # shipped ~0.5 GB per u16 executor through the tunnel for nothing).
+    taps = dense
+    taps_hi = hi_np
+    taps_lo = lo_np
 
-    from .intq import first_pass_overflow_safe, quantize_limbs
+    # int8 limb taps exist for u8 pipelines only (the MXU int8 mode
+    # requires raw u8 input); quantizing them for 2/4-byte inputs was
+    # pure waste — 61 of the u16 flagship's 68 s executor build
+    # (tools/probe_coldstart.py).
+    q1 = q0 = None
+    q_shift = 0
+    if in_bytes <= 1:
+        from .intq import first_pass_overflow_safe, quantize_limbs
 
-    q1, q0, q_shift = quantize_limbs(dense)
-    if not first_pass_overflow_safe(q1, q0, contract_axis=2):
-        q1 = q0 = None  # pragma: no cover - pathological taps only
+        q1, q0, q_shift = quantize_limbs(dense)
+        if not first_pass_overflow_safe(q1, q0, contract_axis=2):
+            q1 = q0 = None  # pragma: no cover - pathological taps
     return BlockedBandedOp(
         n_in=op.n_in,
         n_out=n_out,
         n_in_pad=n_in_pad,
         tile=tile,
         win=win,
-        offs=jnp.asarray(offs, dtype=jnp.int32),
+        offs=np.asarray(offs, dtype=np.int32),
         taps=taps,
         taps_hi=taps_hi,
         taps_lo=taps_lo,
-        taps_q1=None if q1 is None else jnp.asarray(q1),
-        taps_q0=None if q0 is None else jnp.asarray(q0),
+        taps_q1=q1,
+        taps_q0=q0,
         q_shift=q_shift,
         l1_max=float(np.abs(dense).sum(axis=2).max()),
         q_abs1=0 if q1 is None else int(

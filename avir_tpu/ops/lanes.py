@@ -265,13 +265,18 @@ def lane_block_banded(
                     t * c + ch,
                 ] = op.taps[i]
 
-    from .intq import first_pass_overflow_safe, quantize_limbs
-
     # Fixed-point scales, norms and overflow bounds come from the FULL
     # operator so block subsets stay bit-identical to the full form.
-    q1, q0, q_shift = quantize_limbs(dense)
-    if not first_pass_overflow_safe(q1, q0, contract_axis=1):
-        q1 = q0 = None  # pragma: no cover - pathological taps only
+    # Limbs are u8-pipeline-only (see ops/banded.py): skipping them for
+    # 2/4-byte inputs removes the dominant executor-build cost.
+    q1 = q0 = None
+    q_shift = 0
+    if in_bytes <= 1:
+        from .intq import first_pass_overflow_safe, quantize_limbs
+
+        q1, q0, q_shift = quantize_limbs(dense)
+        if not first_pass_overflow_safe(q1, q0, contract_axis=1):
+            q1 = q0 = None  # pragma: no cover - pathological taps
     l1_max = float(np.abs(dense).sum(axis=1).max())
     q_abs1 = 0 if q1 is None else int(
         np.abs(q1.astype(np.int64)).sum(axis=1).max()
@@ -288,9 +293,19 @@ def lane_block_banded(
         if q1 is not None:
             q1, q0 = q1[out_idx], q0[out_idx]
 
-    taps = jnp.asarray(dense)
-    taps_hi = taps.astype(jnp.bfloat16)
-    taps_lo = (taps - taps_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    # Host-numpy bf16 split (bit-identical to the device cast): eager
+    # jnp conversions here cost a device round trip PER OP at
+    # executor-build time — and the chunked form below then fetched
+    # the split planes BACK from the device for slicing.  Measured
+    # through the tunneled chip: 75 s -> host-side sub-second
+    # (tools/probe_coldstart.py).
+    from .banded import _bf16_split_np
+
+    hi_np, lo_np = _bf16_split_np(dense)
+    # Host numpy (see ops/banded.py): jit embeds only what a route
+    # actually uses.
+    taps_hi = hi_np
+    taps_lo = lo_np
 
     # Chunked banded form: per 128-lane output chunk, the sub-window of
     # contraction lanes actually touched (uniform across blocks up to
@@ -323,12 +338,11 @@ def lane_block_banded(
                  slice(j * 128, (j + 1) * 128))
                 for j, r in enumerate(chunk_rel)
             ]
-            hi_np, lo_np = np.asarray(taps_hi), np.asarray(taps_lo)
-            c_hi = jnp.asarray(np.stack([hi_np[s] for s in sl], axis=1))
-            c_lo = jnp.asarray(np.stack([lo_np[s] for s in sl], axis=1))
+            c_hi = np.stack([hi_np[s] for s in sl], axis=1)
+            c_lo = np.stack([lo_np[s] for s in sl], axis=1)
             if q1 is not None:
-                c_q1 = jnp.asarray(np.stack([q1[s] for s in sl], axis=1))
-                c_q0 = jnp.asarray(np.stack([q0[s] for s in sl], axis=1))
+                c_q1 = np.stack([q1[s] for s in sl], axis=1)
+                c_q0 = np.stack([q0[s] for s in sl], axis=1)
     return LaneBlockedOp(
         n_in=op.n_in,
         n_out=n_out,
@@ -336,11 +350,11 @@ def lane_block_banded(
         tile=tile,
         win_l=win_l,
         lanes_pad=lanes_pad,
-        offs_l=jnp.asarray(offs_l, dtype=jnp.int32),
+        offs_l=np.asarray(offs_l, dtype=np.int32),
         taps_hi=taps_hi,
         taps_lo=taps_lo,
-        taps_q1=None if q1 is None else jnp.asarray(q1),
-        taps_q0=None if q0 is None else jnp.asarray(q0),
+        taps_q1=q1,
+        taps_q0=q0,
         q_shift=q_shift,
         chunk_rel=chunk_rel,
         win_c=win_c,

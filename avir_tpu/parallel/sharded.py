@@ -426,6 +426,7 @@ def _pallas_strip_fn(
     fwd,
     bwd,
     interpret: bool,
+    in_bytes: int = 1,
 ):
     """Per-device strip body for the Pallas fused-kernel route, shared
     by the AVIR and LANCIR sharded executors.
@@ -471,7 +472,9 @@ def _pallas_strip_fn(
     # modeled interior H-MAC saving beats the concat's output copy.
     from ..models.runtime import _concat_split_ok, _split_lane_ops
 
-    lop_int, lop_bnd = _split_lane_ops(h_op, lop, lop.c)
+    lop_int, lop_bnd = _split_lane_ops(
+        h_op, lop, lop.c, in_bytes=in_bytes
+    )
     split_concat = False
     if not split_lanes and lop_int is not None:
         split_concat = _concat_split_ok(
@@ -820,6 +823,7 @@ def make_sharded_avir_executor(
             ),
             (v_qshift, v_l1, v_qa1, v_qa0),
             new_w * c, rows_axis, fwd, bwd, interpret,
+            in_bytes=in_b,
         )
 
     else:
@@ -1078,6 +1082,7 @@ def make_sharded_lancir_executor(
             ),
             (v_qshift, v_l1, v_qa1, v_qa0),
             new_w * c, rows_axis, fwd, bwd, interpret,
+            in_bytes=plan.in_itemsize,
         )
     else:
         offs_c = jnp.asarray(svop.offs)

@@ -269,4 +269,25 @@ int avir_png_decode(const uint8_t* data, int64_t len, uint8_t* out)
 
 void avir_free(uint8_t* p) { std::free(p); }
 
+// ---------------------------------------------------------------------------
+// xorshift128 word stream — bit-exact mirror of the golden generator's
+// XS128 PRNG (tests/golden/src/gen_golden.cpp) and of the pure-Python
+// fallback in tests/conftest.py.  Test infrastructure: the Python loop
+// costs ~9 minutes for a 16K source (805M iterations), which pushed the
+// 2-process mesh test past its timeout.
+
+void avir_xs128_fill(uint32_t* out, int64_t n, uint32_t seed)
+{
+    uint32_t x = 123456789u ^ (seed * 2654435761u);
+    uint32_t y = 362436069u ^ (seed * 0x9E3779B9u);
+    uint32_t z = 521288629u + seed;
+    uint32_t w = 88675123u ^ (seed << 7);
+    for (int64_t i = 0; i < n; i++) {
+        uint32_t t = x ^ (x << 11);
+        x = y; y = z; z = w;
+        w = w ^ (w >> 19) ^ t ^ (t >> 8);
+        out[i] = w;
+    }
+}
+
 }  // extern "C"

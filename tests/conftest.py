@@ -39,14 +39,26 @@ def load_golden(name: str) -> np.ndarray:
 
 def xorshift128_fill(shape, dtype, seed: int) -> np.ndarray:
     """Bit-exact mirror of the golden generator's XS128 PRNG
-    (tests/golden/src/gen_golden.cpp)."""
+    (tests/golden/src/gen_golden.cpp).  Uses the native C stream when
+    available (the Python loop costs ~9 min for a 16K source); the
+    pure-Python fallback below is the specification both are tested
+    against."""
+    n = int(np.prod(shape))
+    try:
+        from avir_tpu.native import xs128_words
+
+        bits = xs128_words(n + 16, seed)
+    except Exception:
+        bits = None
+    if bits is not None:
+        bits = bits[16:]
+        return _xs_map(bits, shape, dtype)
     M = 0xFFFFFFFF
     x = (123456789 ^ ((seed * 2654435761) & M)) & M
     y = (362436069 ^ ((seed * 0x9E3779B9) & M)) & M
     z = (521288629 + seed) & M
     w = (88675123 ^ ((seed << 7) & M)) & M
 
-    n = int(np.prod(shape))
     out = np.empty(n + 16, dtype=np.uint32)
     for i in range(n + 16):
         t = (x ^ ((x << 11) & M)) & M
@@ -54,6 +66,10 @@ def xorshift128_fill(shape, dtype, seed: int) -> np.ndarray:
         w = (w ^ (w >> 19) ^ t ^ (t >> 8)) & M
         out[i] = w
     bits = out[16:]
+    return _xs_map(bits, shape, dtype)
+
+
+def _xs_map(bits, shape, dtype):
 
     if dtype == np.uint8:
         return (bits >> 24).astype(np.uint8).reshape(shape)
