@@ -85,3 +85,55 @@ def test_lancir_strip_route_real_mosaic():
     a = single(jax.device_put(flat))
     b = sharded(jax.device_put(flat))
     assert _maxdiff(a, b) <= 1
+
+
+def test_sharded_errdiff_real_mosaic():
+    """Multi-chip error diffusion on the real chip (1-device mesh):
+    the strip kernel emits pre-dither float, the all_gather epilogue
+    runs the PALLAS wavefront kernel inside shard_map — real Mosaic
+    has to compile both in one program."""
+    from avir_tpu.models.runtime import make_avir_executor
+    from avir_tpu.parallel.sharded import make_sharded_avir_executor
+    from avir_tpu.plan.plan import build_resize_plan
+
+    rng = np.random.default_rng(13)
+    src = rng.integers(0, 256, (768, 1024, 3), dtype=np.uint8)
+    plan = build_resize_plan(
+        1024, 768, 512, 384, 3, np.uint8, np.uint8
+    )
+    single = make_avir_executor(
+        plan, errdiff=True, errdiff_impl="wavefront"
+    )
+    sharded = make_sharded_avir_executor(
+        plan, _mesh1(), dither="errdiff"
+    )
+    flat = src.reshape(768, 1024 * 3)
+    a = single(jax.device_put(flat))
+    b = sharded(jax.device_put(flat))
+    assert _maxdiff(a, b) <= 1
+
+
+def test_wavefront_pallas_kernel_real_mosaic():
+    """The wavefront diagonal-scan kernel vs the lax.scan formulation
+    on real hardware (bit-identical; interpret-mode parity is covered
+    on CPU)."""
+    from avir_tpu.ops.dither import errdiff_dither_wavefront_jnp
+
+    rng = np.random.default_rng(14)
+    img = (rng.random((384, 512, 3)) * 255.0).astype(np.float32)
+    d = jax.device_put(img)
+    pk = np.asarray(
+        jax.jit(
+            lambda x: errdiff_dither_wavefront_jnp(
+                x, 0, 255.0, engine="pallas"
+            )
+        )(d)
+    )
+    scan = np.asarray(
+        jax.jit(
+            lambda x: errdiff_dither_wavefront_jnp(
+                x, 0, 255.0, engine="xla"
+            )
+        )(d)
+    )
+    np.testing.assert_array_equal(pk, scan)
