@@ -137,3 +137,49 @@ def test_wavefront_pallas_kernel_real_mosaic():
         )(d)
     )
     np.testing.assert_array_equal(pk, scan)
+
+
+def test_resize_batch_errdiff_real_mosaic():
+    """resize_batch with error diffusion on the chip: the Pallas
+    wavefront kernel under vmap (batched grid + per-element scratch
+    reset) through real Mosaic."""
+    from avir_tpu.models.avir import ImageResizer
+
+    rng = np.random.default_rng(15)
+    batch = rng.integers(0, 256, (3, 96, 128, 3), dtype=np.uint8)
+    rz = ImageResizer()
+    out = rz.resize_batch(batch, 64, 48, dither="errdiff")
+    assert out.shape == (3, 48, 64, 3)
+    for i in range(3):
+        single = rz.resize(batch[i], 64, 48, dither="errdiff")
+        assert (
+            np.abs(out[i].astype(int) - single.astype(int)).max() <= 1
+        )
+
+
+def test_sharded_errdiff_batch_real_mosaic():
+    """dp x sp batched sharded errdiff on the chip: vmapped strip body
+    + all_gather + vmapped Pallas wavefront inside shard_map."""
+    from jax.sharding import Mesh
+
+    from avir_tpu.models.avir import ImageResizer
+    from avir_tpu.parallel.sharded import make_sharded_avir_executor
+    from avir_tpu.plan.plan import build_resize_plan
+
+    mesh = Mesh(
+        np.array(jax.devices()[:1]).reshape(1, 1), ("dp", "sp")
+    )
+    rng = np.random.default_rng(16)
+    batch = rng.integers(0, 256, (2, 256, 96, 3), dtype=np.uint8)
+    plan = build_resize_plan(96, 256, 64, 160, 3, np.uint8, np.uint8)
+    fn = make_sharded_avir_executor(
+        plan, mesh, rows_axis="sp", batch_axis="dp", dither="errdiff"
+    )
+    out = np.asarray(fn(batch.reshape(2, 256, 96 * 3)))
+    rz = ImageResizer()
+    for i in range(2):
+        single = rz.resize(batch[i], 64, 160, dither="errdiff")
+        got = out[i].reshape(160, 64, 3)
+        assert (
+            np.abs(got.astype(int) - single.astype(int)).max() <= 1
+        )
