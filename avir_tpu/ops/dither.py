@@ -180,9 +180,10 @@ def _wavefront_rows(
     if emit_last:
         # nlp[(j+1)*c + ch] = n_last[j*c + ch] (zero outside): row 0
         # of this block reads the previous block's noise at columns
-        # x-1 / x / x+1, i.e. nlp[t*c .. (t+3)*c) at step t (x = t
-        # for row 0).
-        nlp = jnp.zeros(((T + 2) * c,), block.dtype)
+        # x-1 / x / x+1.  The shifted-carry scheme below gathers the
+        # head for step t+1's d1 while computing step t, so indices
+        # reach (t+4)*c.
+        nlp = jnp.zeros(((T + 4) * c,), block.dtype)
         nlp = nlp.at[c : (w + 1) * c].set(n_last)
 
     def down(a, head):  # y -> y-1 alignment; ``head`` fills row 0
@@ -190,40 +191,56 @@ def _wavefront_rows(
 
     zhead = jnp.zeros((c, 1), block.dtype)
 
+    # Shifted-carry scheme: instead of re-shifting three historical
+    # noise vectors every step (3 shifts), carry the ALREADY-shifted
+    # values — d_k at step t equals down(noise(t-k)), and d_{k+1} of
+    # the next step is just this step's d_k.  One shift per step,
+    # bit-identical sums.
     def step(carry, inp):
-        n1, n2, n3 = carry  # noise at t-1, t-2, t-3: [c, r] planar
+        n1, d1, d2, d3 = carry  # noise(t-1); down(noise(t-1..t-3))
         if emit_last:
             s_t, m_t, t = inp
-            nl3 = jax.lax.dynamic_slice(nlp, (t * c,), (3 * c,))
-            # row 0, step t: (prev, x-1)=nl3[0:c], (prev, x)=c:2c,
-            # (prev, x+1)=2c:3c
-            h3 = nl3[:c, None]
-            h2 = nl3[c : 2 * c, None]
-            h1 = nl3[2 * c :, None]
         else:
             s_t, m_t = inp
-            h1 = h2 = h3 = zhead
         cur = (
             s_t
-            + W_CUR_RIGHT * n1               # (y, x-1)
-            + W_NEXT_LEFT * down(n1, h1)     # (y-1, x+1)
-            + W_NEXT_CENTER * down(n2, h2)   # (y-1, x)
-            + W_NEXT_RIGHT * down(n3, h3)    # (y-1, x-1)
+            + W_CUR_RIGHT * n1      # (y, x-1)
+            + W_NEXT_LEFT * d1      # (y-1, x+1)
+            + W_NEXT_CENTER * d2    # (y-1, x)
+            + W_NEXT_RIGHT * d3     # (y-1, x-1)
         )
         z0 = round_biased(cur * tmi) * tm
         # Out-of-image cells must contribute ZERO noise (the reference
         # discards diffusion past the row ends, avir.h:4504-4524).
         noise = jnp.where(m_t[None, :], cur - z0, 0.0)
         out_t = jnp.clip(z0, 0.0, out_max)
+        if emit_last:
+            # Head for d1 used at step t+1: down(n(t)) row 0 reads the
+            # previous block's noise at nlp index t+3.
+            h = jax.lax.dynamic_slice(
+                nlp, ((t + 3) * c,), (c,)
+            )[:, None]
+        else:
+            h = zhead
         ys = (out_t, noise[:, -1]) if emit_last else out_t
-        return (noise, n1, n2), ys
+        return (noise, down(noise, h), d1, d2), ys
 
     zero = jnp.zeros((c, r), block.dtype)
+    if emit_last:
+        # Initial shifted carries: rows y >= 1 start from zero noise,
+        # but row 0's neighbors live in the previous block — d_k(t=0)
+        # head = nlp[3 - k].
+        init = tuple(
+            down(zero, nlp[(3 - k) * c : (4 - k) * c, None])
+            for k in (1, 2, 3)
+        )
+    else:
+        init = (zero, zero, zero)
     xs = (S, M, jnp.arange(T)) if emit_last else (S, M)
     # ``unroll``: amortizes the While-loop iteration overhead across
     # several diagonals per trip (measured: tools/probe_wavefront.py).
     _, ys = jax.lax.scan(
-        step, (zero, zero, zero), xs, unroll=unroll
+        step, (zero,) + init, xs, unroll=unroll
     )
     if emit_last:
         O, ns = ys  # ns: [T, c]

@@ -43,7 +43,7 @@ _SUB = 8  # sublane count: each diagonal computes as (8, G)
 
 
 def _kernel(
-    s_ref, o_ref, n1_ref, n2_ref, n3_ref, *,
+    s_ref, o_ref, n1_ref, d1_ref, d2_ref, d3_ref, *,
     K: int, w: int, c: int, r: int, G: int,
     tm: float, tmi: float, out_max: float,
 ):
@@ -53,8 +53,9 @@ def _kernel(
     def _init():
         z = jnp.zeros((_SUB, G), jnp.float32)
         n1_ref[...] = z
-        n2_ref[...] = z
-        n3_ref[...] = z
+        d1_ref[...] = z
+        d2_ref[...] = z
+        d3_ref[...] = z
 
     # Flat planar index j = sub*G + lane = ch*r + y (C planes of R
     # rows, ops/dither._skew_rows; trailing pad lanes j >= c*r are
@@ -86,18 +87,23 @@ def _kernel(
         sh = jnp.where(lane0, colv, b)
         return jnp.where(head0, zero, sh)
 
+    # Shifted-carry scheme (see ops/dither._wavefront_rows): carry the
+    # ALREADY-shifted noise vectors d_k = down(noise(t-k)), so each
+    # step performs ONE down() (two rotates) instead of three —
+    # the rotates sit on the recurrence's critical path.
     a1 = n1_ref[...]
-    a2 = n2_ref[...]
-    a3 = n3_ref[...]
+    b1 = d1_ref[...]
+    b2 = d2_ref[...]
+    b3 = d3_ref[...]
     for k in range(K):
         t = tau * K + k
         s_t = s_ref[k]
         cur = (
             s_t
             + W_CUR_RIGHT * a1
-            + W_NEXT_LEFT * down(a1)
-            + W_NEXT_CENTER * down(a2)
-            + W_NEXT_RIGHT * down(a3)
+            + W_NEXT_LEFT * b1
+            + W_NEXT_CENTER * b2
+            + W_NEXT_RIGHT * b3
         )
         v = cur * tmi
         z0 = jnp.where(
@@ -107,10 +113,11 @@ def _kernel(
         m = (x_of >= 0) & (x_of < w) & ~dead
         noise = jnp.where(m, cur - z0, 0.0)
         o_ref[k] = jnp.clip(z0, 0.0, out_max)
-        a1, a2, a3 = noise, a1, a2
+        a1, b1, b2, b3 = noise, down(noise), b1, b2
     n1_ref[...] = a1
-    n2_ref[...] = a2
-    n3_ref[...] = a3
+    d1_ref[...] = b1
+    d2_ref[...] = b2
+    d3_ref[...] = b3
 
 
 def wavefront_scan_pallas(
@@ -161,6 +168,7 @@ def wavefront_scan_pallas(
             (T_pad, _SUB, G), jnp.float32
         ),
         scratch_shapes=[
+            pltpu.VMEM((_SUB, G), jnp.float32),
             pltpu.VMEM((_SUB, G), jnp.float32),
             pltpu.VMEM((_SUB, G), jnp.float32),
             pltpu.VMEM((_SUB, G), jnp.float32),
