@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 W_CUR_RIGHT = 0.364842
 W_NEXT_LEFT = 0.207305
@@ -314,8 +315,13 @@ def errdiff_dither_wavefront_jnp(
             from .pallas.wavefront_kernel import wavefront_scan_pallas
 
             S = _skew_rows(flat.astype(jnp.float32), w, c)
+            # tmi must be the SAME f32 value the scan path computes
+            # (jnp.float32(1.0)/tm) — a float64 reciprocal differs by
+            # 1 ulp for some trunc configs and can flip round_biased
+            # at half-step boundaries, breaking engine parity.
+            tmi_f32 = float(np.float32(1.0) / np.float32(tm_py))
             O = wavefront_scan_pallas(
-                S, w, c, tm_py, 1.0 / tm_py, out_max_py,
+                S, w, c, tm_py, tmi_f32, out_max_py,
                 interpret=interpret, chunk=pallas_chunk,
             )
             return _unskew_rows(O, h, w, c).reshape(h, w, c)

@@ -21,6 +21,13 @@ noise discard at row ends (the reference's behavior,
 /root/reference/avir.h:4504-4524).  The carry hand-off across chunks is
 exact — scratch persists between grid steps on the sequentially
 executed TPU grid.
+
+Engine parity: bit-identical to the lax.scan path for unit-step
+quantization (trunc_bits=0); for truncating configs whose step is not
+f32-exact, XLA may fuse the quantize arithmetic (round*tm, cur-z0)
+differently across the two programs, flipping isolated half-step
+boundary pixels — bounded at one quantization step (tested), the same
+tolerance every errdiff variant carries vs the f64 oracle.
 """
 
 from __future__ import annotations
@@ -32,11 +39,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..banded import _round_up
 from ..dither import (
     W_CUR_RIGHT,
     W_NEXT_CENTER,
     W_NEXT_LEFT,
     W_NEXT_RIGHT,
+    round_biased,
 )
 
 _SUB = 8  # sublane count: each diagonal computes as (8, G)
@@ -105,10 +114,7 @@ def _kernel(
             + W_NEXT_CENTER * b2
             + W_NEXT_RIGHT * b3
         )
-        v = cur * tmi
-        z0 = jnp.where(
-            v >= 0, jnp.floor(v + 0.5), -jnp.floor(0.5 - v)
-        ) * tm
+        z0 = round_biased(cur * tmi) * tm
         x_of = t - yy2
         m = (x_of >= 0) & (x_of < w) & ~dead
         noise = jnp.where(m, cur - z0, 0.0)
@@ -140,7 +146,7 @@ def wavefront_scan_pallas(
     # Lane-align G so the per-step rotates never cross a ragged tile
     # edge (the padding lives at the END of the flat planar vector and
     # stays dead-masked).
-    G = -(-(-(-cr // _SUB)) // 128) * 128
+    G = _round_up(-(-cr // _SUB), 128)
     # Chunk size: in+out blocks double-buffered within ~8 MB VMEM.
     # The K diagonal steps are UNROLLED straight-line code, so K also
     # bounds program size; ``chunk`` overrides (tests use small chunks

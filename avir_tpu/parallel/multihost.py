@@ -73,8 +73,10 @@ def make_dp_sp_mesh(sp: Optional[int] = None):
     local = jax.local_device_count()
     if sp <= local:
         procs = np.vectorize(lambda d: d.process_index)(mesh.devices)
-        assert (procs == procs[:, :1]).all(), (
-            "sp axis crosses process boundaries despite fitting in one "
-            "host; device ordering violates the adjacency assumption"
-        )
+        if not (procs == procs[:, :1]).all():
+            raise ValueError(
+                "sp axis crosses process boundaries despite fitting "
+                "in one host; device ordering violates the adjacency "
+                "assumption (halo ppermutes would ride DCN)"
+            )
     return mesh

@@ -269,7 +269,13 @@ def model_scaling_2d(
             t_int_h = 0.0
         else:
             halo_c = max(svh.halo_lo, svh.halo_hi)
-            t_halo_c = lat + halo_c * hs * c * in_itemsize / bw
+            # The executor exchanges column halos on the f32
+            # TRANSPOSED tile (gamma applied locally first) so the H
+            # pass can run through the same interior/border overlap as
+            # the V pass — 4 bytes/element regardless of input dtype,
+            # but with the interior-H compute credit (earned:
+            # _overlapped_v on cols_axis, parallel/sharded.py).
+            t_halo_c = lat + halo_c * hs * c * 4 / bw
             n_int_h = max(svh.b_int1 - svh.b_int0, 0)
             t_int_h = t_chip_s * (
                 n_int_h * tile * svh.win * hs * c

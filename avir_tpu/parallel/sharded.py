@@ -678,7 +678,10 @@ def make_sharded_avir_executor(
     padded_h = h + ((-h) % n_dev)
 
     svop = shard_v_op(plan.v.op, n_dev, padded_h, tile=tile)
-    hop = block_banded(plan.h.op)
+    in_b = 4 if plan.is_in_float else (
+        1 if plan.in_type_max == 255.0 else 2
+    )
+    hop = block_banded(plan.h.op, in_bytes=in_b)
 
     out_bits = 8 if plan.out_type_max == 255.0 else 16
     trunc_bits = 0 if plan.is_out_float else out_bits - plan.res_bit_depth
@@ -700,9 +703,6 @@ def make_sharded_avir_executor(
         from ..ops.lanes import lane_block_banded
         from ..ops.pallas.fused_kernel import fused_viable_shapes
 
-        in_b = 4 if plan.is_in_float else (
-            1 if plan.in_type_max == 255.0 else 2
-        )
         svb = shard_v_blocked(
             plan.v.op, n_dev, padded_h, tile=pallas_tile,
             in_bytes=in_b,
@@ -978,7 +978,7 @@ def make_sharded_lancir_executor(
     padded_h = h + ((-h) % n_dev)
 
     svop = shard_v_op(plan.v, n_dev, padded_h, tile=tile)
-    hop = block_banded(plan.h)
+    hop = block_banded(plan.h, in_bytes=plan.in_itemsize)
     out_dt = (
         jnp.float32
         if plan.is_out_float
@@ -1258,44 +1258,39 @@ def make_sharded_avir_executor_2d(
         h_offs, h_taps = h_offs[0], h_taps[0]
         hs = x.shape[0]
 
-        # --- column halos on the raw tile -----------------------------
-        if svh.use_all_gather:
-            ext = jax.lax.all_gather(x, cols_axis, axis=1, tiled=True)
-        else:
-            parts = []
-            if svh.halo_lo > 0:
-                parts.append(
-                    jax.lax.ppermute(
-                        x[:, -svh.halo_lo * c:], cols_axis, fwd_c
-                    )
-                )
-            parts.append(x)
-            if svh.halo_hi > 0:
-                parts.append(
-                    jax.lax.ppermute(
-                        x[:, : svh.halo_hi * c], cols_axis, bwd_c
-                    )
-                )
-            ext = jnp.concatenate(parts, axis=1) if len(parts) > 1 \
-                else parts[0]
-        cols_e = ext.shape[1] // c
-
-        # --- pack + gamma + H pass ------------------------------------
-        ext = ext.astype(jnp.float32)
+        # --- pack + gamma on the LOCAL tile ---------------------------
+        # Gamma is elementwise, so linearizing before the halo exchange
+        # yields bit-identical values to linearizing the assembled ext
+        # (each column's owner computes the same function of the same
+        # bytes) — and lets the H pass use the SAME interior/border
+        # overlap machinery as the V pass: interior column blocks read
+        # only local columns, so their matmuls are issued before the
+        # ppermutes' results are consumed.
+        xf = x.astype(jnp.float32)
         if plan.use_srgb_gamma:
-            e3 = ext.reshape(hs, cols_e, c) * jnp.float32(
+            x3 = xf.reshape(hs, -1, c) * jnp.float32(
                 plan.in_gamma_mult
             )
-            ext = srgb_to_linear_jnp(e3, plan.alpha_index).reshape(
-                hs, cols_e * c
+            xf = srgb_to_linear_jnp(x3, plan.alpha_index).reshape(
+                hs, -1
             )
-        xt = ext.reshape(hs, cols_e, c).transpose(1, 0, 2).reshape(
-            cols_e, hs * c
+        ws_loc = xf.shape[1] // c
+        xt = xf.reshape(hs, ws_loc, c).transpose(1, 0, 2).reshape(
+            ws_loc, hs * c
         )
-        need = int(svh.offs.max()) + svh.win
-        if need > cols_e:
-            xt = jnp.pad(xt, ((0, need - cols_e), (0, 0)))
-        y = _apply_local_blocked(xt, h_offs, h_taps, mode_first)
+
+        # --- H pass: column halos overlapped with interior compute ----
+        if svh.use_all_gather:
+            ext = jax.lax.all_gather(xt, cols_axis, tiled=True)
+            need = int(svh.offs.max()) + svh.win
+            if need > ext.shape[0]:
+                ext = jnp.pad(ext, ((0, need - ext.shape[0]), (0, 0)))
+            y = _apply_local_blocked(ext, h_offs, h_taps, mode_first)
+        else:
+            y = _overlapped_v(
+                xt, h_offs, h_taps, svh, cols_axis, fwd_c, bwd_c,
+                mode_first, _apply_local_blocked,
+            )
         y = y[:m_w]  # [m_w, hs*c]
         y = y.reshape(m_w, hs, c).transpose(1, 0, 2).reshape(
             hs, m_w * c

@@ -251,3 +251,36 @@ def test_wavefront_pallas_kernel_vmap():
             )
         )
         np.testing.assert_array_equal(got[i], want, err_msg=str(i))
+
+
+def test_wavefront_engine_parity_divergent_tm():
+    """Truncating configs whose quantization step is not f32-exact
+    (tb=4 at 16-bit, tb=6 at 8-bit): the kernel uses the scan path's
+    f32 tmi (round-4 review finding removed a systematic 1-ulp
+    reciprocal divergence), but XLA may still fuse the quantize
+    arithmetic differently across the two programs, flipping isolated
+    half-step boundary pixels — the engines must agree within ONE
+    quantization step (the suite-wide errdiff tolerance), and exactly
+    for unit-step configs (covered by
+    test_wavefront_pallas_kernel_interpret)."""
+    from avir_tpu.ops.dither import trunc_mul
+
+    rng = np.random.default_rng(41)
+    img = (rng.random((40, 48, 3)) * 255.0).astype(np.float32)
+    for tb, om in [(2, 255.0), (4, 65535.0), (6, 255.0)]:
+        a = np.asarray(
+            errdiff_dither_wavefront_jnp(
+                jnp.asarray(img), tb, om, interpret=True,
+                pallas_chunk=16,
+            )
+        )
+        b = np.asarray(
+            errdiff_dither_wavefront_jnp(
+                jnp.asarray(img), tb, om, engine="xla"
+            )
+        )
+        step = trunc_mul(tb, om)
+        diff = np.abs(a.astype(np.float64) - b.astype(np.float64))
+        assert diff.max() <= step + 1e-3, (tb, om, diff.max())
+        # divergence must stay rare (isolated boundary flips)
+        assert (diff > 0).mean() < 0.01, (tb, om)

@@ -43,10 +43,15 @@ def main(names):
         h, w, c = SIZES[name]
         T = 2 * (h - 1) + w
         rng = np.random.default_rng(5)
-        img = (
-            rng.random((h, w, c), dtype=np.float32) * 255.0
-        ).astype(np.float32)
-        d = jax.device_put(img)
+        # Ship u8 through the tunnel and widen on device (CLAUDE.md
+        # round-3 lesson: big f32 device_puts are pathologically slow
+        # on this rig); the one-time cast is outside the timed fns.
+        img8 = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+        d = jax.block_until_ready(
+            jax.jit(lambda x: x.astype(jnp.float32))(
+                jax.device_put(img8)
+            )
+        )
 
         @jax.jit
         def skew_only(x):
@@ -72,7 +77,14 @@ def main(names):
         variants = {"skew_only": skew_only,
                     "quant_only": jax.jit(
                         lambda x: default_dither_jnp(x, 0, 255.0)),
-                    "pallas": jax.jit(
+                    # NOTE: tall-narrow sizes auto-route to the
+                    # row-blocked lax.scan BEFORE the engine pick, so
+                    # this variant is labeled by the route taken.
+                    (
+                        "pallas"
+                        if 2 * h <= 7 * w
+                        else "auto(blocked-scan)"
+                    ): jax.jit(
                         functools.partial(
                             errdiff_dither_wavefront_jnp,
                             trunc_bits=0, out_max=255.0,
