@@ -18,20 +18,6 @@ from ..utils.excache import ExecutorCache
 from .runtime import make_avir_executor
 
 
-# "errdiff" auto-route crossover (output pixels).  Measured on v5e
-# (tools/probe_errdiff.py, round-4 numbers tools/probe_wavefront.py):
-# the anti-diagonal wavefront scan wins at EVERY size — 1080p 2.16 ms
-# vs 48.8 ms of host scan alone (+ transfer), 8K 64.4 ms — and keeps
-# the result on device, so the crossover is 0: "errdiff" always
-# routes to the wavefront on device engines (which internally pick
-# the Pallas diagonal-scan kernel on TPU, the lax.scan formulation
-# elsewhere, and the row-blocked variant for tall-narrow outputs —
-# ops/dither.py).  The native host scan remains the engine="host" /
-# precision="f64" path (and the semantics oracle the wavefront is
-# tested against).
-_ERRDIFF_WAVEFRONT_MIN_PX = 0
-
-
 def _host_executor(plan, sh, sw, ch, dither, rnd_seed=0):
     """Float64 host-oracle executor (the public precision="f64" /
     engine="host" route): NumPy double-precision compute end to end,
@@ -130,9 +116,12 @@ class ImageResizer:
         with centering; <0 = |k| without centering (avir.h:4709-4736).
         ``ox``/``oy``: sub-pixel shift in source pixels.
         ``dither``: "default" (round+clamp), "errdiff" (error
-        diffusion, auto-routed by output size between the native host
-        scan and the on-device anti-diagonal wavefront scan — see
-        _ERRDIFF_WAVEFRONT_MIN_PX), "errdiff-device" (sequential
+        diffusion via the on-device anti-diagonal wavefront scan — the
+        measured winner at every output size, tools/probe_errdiff.py /
+        tools/probe_wavefront.py; the native host serial scan remains
+        the engine="host" / precision="f64" path and the semantics
+        oracle the wavefront is tested against), "errdiff-device"
+        (sequential
         nested lax.scan, exact scan-order float semantics; slow for
         large images — the recurrence is serial, as in the reference's
         single-threaded dither stage, avir.h:5047-5068),
@@ -188,21 +177,15 @@ class ImageResizer:
         )
 
         # Error-diffusion routing (measured, tools/probe_errdiff.py):
-        # "errdiff" auto-routes between the native host scan (after a
-        # device->host transfer of the f32 pre-dither image) and the
-        # on-device anti-diagonal WAVEFRONT scan (ops/dither.py) by
-        # output size; "errdiff-device" keeps the sequential nested
-        # scan (exact scan-order float semantics); "errdiff-wavefront"
-        # forces the wavefront.
+        # "errdiff" runs the on-device anti-diagonal WAVEFRONT scan
+        # (ops/dither.py) — the winner at every output size over the
+        # native host scan (which would add a device->host transfer of
+        # the f32 pre-dither image); "errdiff-device" keeps the
+        # sequential nested scan (exact scan-order float semantics).
+        # Float outputs ignore dither (nothing to quantize, as in the
+        # reference).
         wavefront = dither == "errdiff-wavefront" or (
-            dither == "errdiff"
-            and out_dtype.kind != "f"
-            and new_w * new_h >= _ERRDIFF_WAVEFRONT_MIN_PX
-        )
-        host_errdiff = (
-            dither == "errdiff"
-            and not wavefront
-            and out_dtype.kind != "f"
+            dither == "errdiff" and out_dtype.kind != "f"
         )
 
         def build():
@@ -232,39 +215,25 @@ class ImageResizer:
                 errdiff=(dither == "errdiff-device") or wavefront,
                 errdiff_impl="wavefront" if wavefront else "scan",
                 precision=precision,
-                return_predither=host_errdiff or use_custom,
+                return_predither=use_custom,
                 engine=engine,
             )
-            if not (host_errdiff or use_custom):
+            if not use_custom:
                 return fn
 
             out_bits = 8 if out_dtype.itemsize == 1 else 16
             out_max = float((1 << out_bits) - 1)
             trunc_bits = out_bits - self.res_bit_depth
 
-            if use_custom:
-                # Custom-ditherer slot (the reference's fpclass
-                # ditherer template parameter, avir.h:4569-4592).
-                def run(x):
-                    pre = np.asarray(fn(x), dtype=np.float64).reshape(
-                        new_h, new_w, ch
-                    )
-                    return np.asarray(
-                        dither(pre, trunc_bits, out_max, rnd_seed)
-                    ).astype(out_dtype)
-
-                return run
-
-            from .. import native
-
+            # Custom-ditherer slot (the reference's fpclass ditherer
+            # template parameter, avir.h:4569-4592).
             def run(x):
                 pre = np.asarray(fn(x), dtype=np.float64).reshape(
                     new_h, new_w, ch
                 )
-                dithered = native.errdiff_dither(
-                    pre, trunc_bits, out_max
-                )
-                return dithered.astype(out_dtype)
+                return np.asarray(
+                    dither(pre, trunc_bits, out_max, rnd_seed)
+                ).astype(out_dtype)
 
             return run
 

@@ -284,7 +284,19 @@ def errdiff_dither_wavefront_jnp(
     diffused noise — bounded well under 1 output LSB; tests gate both
     variants against the f64 host oracle at <= 1 LSB.  The blocked and
     single-block paths compute bit-identical pixels (same sums, same
-    order)."""
+    order).
+
+    ``engine``: "auto" (Pallas diagonal-scan kernel on TPU backends,
+    lax.scan elsewhere), "pallas" (force the kernel), or "xla" (force
+    the lax.scan formulation).  ``interpret=True`` implies the Pallas
+    engine (interpreter mode — the CPU-mesh test configuration) and
+    conflicts with engine="xla".  The row-blocked tall-narrow route
+    runs lax.scan regardless; engine="pallas" raises there rather
+    than silently downgrading."""
+    if engine not in ("auto", "pallas", "xla"):
+        raise ValueError(f"unknown wavefront engine {engine!r}")
+    if interpret and engine == "xla":
+        raise ValueError("interpret=True implies the Pallas engine")
     h, w, c = img.shape
     out_max_py = float(out_max)
     tm_py = trunc_mul(trunc_bits, out_max_py)
@@ -330,6 +342,13 @@ def errdiff_dither_wavefront_jnp(
         )
         return out.reshape(h, w, c)
 
+    if engine == "pallas":
+        raise ValueError(
+            "engine='pallas' cannot be honored on the row-blocked "
+            "tall-narrow route (block_rows < image height runs the "
+            "lax.scan formulation); use engine='auto' or pass "
+            "block_rows >= the image height"
+        )
     nb = -(-h // block_rows)
     pad = nb * block_rows - h
     if pad:

@@ -354,10 +354,9 @@ def build_filter_steps(
     key = banks.bank_key(int_cutoff_mult, force_hi_order, ext_params)
     fs.bank_key = key
     fs.bank_is_fixed = key == banks.fixed_key
-    if not is_model or True:
-        # Banks are cheap to build; always materialize so correction-filter
-        # response measurement (non-model) and composition can use them.
-        fs.bank = banks.get_bank(key, ext)
+    # Banks are cheap to build; always materialize (model passes too) so
+    # correction-filter response measurement and composition can use them.
+    fs.bank = banks.get_bank(key, ext)
 
     add_correction_filter(steps, corrbw, is_pre_correction, params, is_model)
     return steps, resize_step

@@ -53,13 +53,11 @@ def test_wavefront_u16():
     assert np.abs(wav - oracle).max() <= 1.0
 
 
-def test_errdiff_auto_routing_and_parity(monkeypatch):
-    """dither="errdiff" auto-routes by the crossover constant
-    (currently 0: always the wavefront on device engines); the host
-    arm (device predither -> native serial scan) is exercised by
-    raising the crossover, and all variants agree within one
-    quantization step."""
-    import avir_tpu.models.avir as av
+def test_errdiff_routing_and_parity():
+    """dither="errdiff" routes to the on-device wavefront scan on
+    device engines; the native host serial scan remains the
+    engine="host" route.  All variants agree within one quantization
+    step."""
     from avir_tpu import ImageResizer
 
     rng = np.random.default_rng(9)
@@ -68,15 +66,13 @@ def test_errdiff_auto_routing_and_parity(monkeypatch):
     auto = rz.resize(src, 64, 48, dither="errdiff")  # = wavefront
     wav = rz.resize(src, 64, 48, dither="errdiff-wavefront")
     seq = rz.resize(src, 64, 48, dither="errdiff-device")
-    np.testing.assert_array_equal(auto, wav)  # crossover 0
+    np.testing.assert_array_equal(auto, wav)
     assert np.abs(wav.astype(int) - seq.astype(int)).max() <= 1
 
-    # Raise the crossover: "errdiff" must take the HOST arm (device
-    # predither + native serial C++ scan) — the otherwise-dormant
-    # route stays correct.
-    monkeypatch.setattr(av, "_ERRDIFF_WAVEFRONT_MIN_PX", 1 << 30)
-    rz2 = ImageResizer()
-    host = rz2.resize(src, 64, 48, dither="errdiff")
+    # The host engine runs the native serial C++ scan (the f64
+    # pipeline end to end) — the semantics oracle the wavefront is
+    # gated against.
+    host = rz.resize(src, 64, 48, dither="errdiff", engine="host")
     assert np.abs(host.astype(int) - wav.astype(int)).max() <= 1
     assert np.abs(host.astype(int) - seq.astype(int)).max() <= 1
     from avir_tpu.models.runtime import make_avir_executor
@@ -85,6 +81,25 @@ def test_errdiff_auto_routing_and_parity(monkeypatch):
     plan = build_resize_plan(128, 96, 64, 48, 3, np.uint8, np.uint8)
     fn = make_avir_executor(plan, errdiff=True, errdiff_impl="wavefront")
     assert fn.errdiff_impl == "wavefront"
+
+
+def test_wavefront_engine_validation():
+    """Engine strings are validated; engine='pallas' raises on the
+    row-blocked tall-narrow route instead of silently downgrading;
+    interpret=True conflicts with engine='xla' (ADVICE r4)."""
+    import pytest
+
+    img = jnp.zeros((64, 4, 1), jnp.float32)
+    with pytest.raises(ValueError, match="unknown wavefront engine"):
+        errdiff_dither_wavefront_jnp(img, 0, 255.0, engine="vpu")
+    with pytest.raises(ValueError, match="row-blocked"):
+        errdiff_dither_wavefront_jnp(
+            img, 0, 255.0, engine="pallas", block_rows=8
+        )
+    with pytest.raises(ValueError, match="implies the Pallas"):
+        errdiff_dither_wavefront_jnp(
+            img, 0, 255.0, engine="xla", interpret=True
+        )
 
 
 def test_resize_batch_errdiff_on_device():
