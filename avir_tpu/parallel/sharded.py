@@ -307,6 +307,273 @@ def shard_v_blocked(
     )
 
 
+@dataclasses.dataclass(frozen=True)
+class ShardedLaneOp:
+    """Per-device lane-blocked form of the HORIZONTAL banded operator
+    for 2-D (rows x cols) sharding: device column j owns output pixels
+    [j*m, (j+1)*m) and reads input lanes
+    [j*strip_lanes - halo_lo, (j+1)*strip_lanes + halo_hi) of the
+    interleaved [rows, W*C] image.  Window starts are 128-lane aligned
+    in LOCAL coordinates (each device's tap matrices absorb its own
+    sub-128 phase), so the per-device taps can feed the fused Pallas
+    kernel directly (ops/pallas/fused_kernel.py) as its lane-side
+    operator — the 2-D analog of ``shard_v_blocked``."""
+
+    n_out: int           # global output pixels
+    c: int
+    m: int               # output pixels per device
+    tile: int            # output pixels per block
+    strip_lanes: int     # input lanes per device
+    halo_lo: int         # lanes (multiple of c; 128 when possible)
+    halo_hi: int         # lanes
+    win_l: int           # window lanes per block (multiple of 128)
+    lanes_pad: int       # required extended-lane count incl. zero-pad
+    offs_l: np.ndarray   # i32 [n_dev, blocks] — local window starts
+    taps_hi: np.ndarray  # bf16 [n_dev, blocks, win_l, tile*c]
+    taps_lo: np.ndarray
+    taps_q1: np.ndarray | None  # s8 limbs (u8 pipelines)
+    taps_q0: np.ndarray | None
+    q_shift: int
+    chunk_rel: tuple[int, ...] | None  # shared across devices/blocks
+    win_c: int
+    ctaps_hi: np.ndarray | None  # bf16 [n_dev, blocks, n_ch, win_c, 128]
+    ctaps_lo: np.ndarray | None
+    ctaps_q1: np.ndarray | None
+    ctaps_q0: np.ndarray | None
+    l1_max: float
+    q_abs1: int
+    q_abs0: int
+    use_all_gather: bool
+    b_int0: int = 0
+    b_int1: int = 0
+
+    @property
+    def n_blocks(self) -> int:
+        return self.offs_l.shape[1]
+
+
+def shard_lane_blocked(
+    op: BandedOp, n_dev: int, padded_w: int, c: int,
+    tile: int | None = None, in_bytes: int = 1,
+) -> ShardedLaneOp:
+    """Split the horizontal BandedOp into per-device lane-blocked
+    operators with uniform shapes and compute the column-halo
+    requirement (in lanes).
+
+    Quantization scales, norms and the chunked-band sub-windows are
+    computed over ALL devices' taps, so every device shares the fused
+    kernel's fixed-point scales and static chunk offsets (bit-parity
+    with the single-chip lane operator, whose scales derive from the
+    same global tap set — ops/lanes.py).  ``halo_lo`` is rounded to a
+    multiple of 128 lanes when that fits the strip (keeps local window
+    starts 128-aligned after interior rebasing and preserves the C=4
+    alpha-bypass channel phase); taps absorb any remaining per-device
+    sub-128 phase."""
+    from ..ops.lanes import pick_lane_tile
+
+    if tile is None:
+        tile = pick_lane_tile(op, c, in_bytes=in_bytes)
+    assert padded_w % n_dev == 0 and padded_w >= op.n_in
+    n_out, width = op.n_out, op.width
+    m = -(-n_out // n_dev)
+    strip_lanes = (padded_w // n_dev) * c
+    blocks = -(-m // tile)
+    starts = op.starts.astype(np.int64)
+
+    # Global lane range needed by each device's output pixels.
+    need_lo = np.empty(n_dev, dtype=np.int64)
+    need_hi = np.empty(n_dev, dtype=np.int64)
+    for d in range(n_dev):
+        lo, hi = d * m, min((d + 1) * m, n_out)
+        if lo >= n_out:  # device owns only padding columns
+            need_lo[d] = min(d * strip_lanes, op.n_in * c)
+            need_hi[d] = need_lo[d]
+        else:
+            need_lo[d] = starts[lo] * c
+            need_hi[d] = (starts[hi - 1] + width) * c
+
+    halo_lo = int(
+        max(0, np.max(np.arange(n_dev) * strip_lanes - need_lo))
+    )
+    halo_hi = int(
+        max(0, np.max(need_hi - (np.arange(n_dev) + 1) * strip_lanes))
+    )
+    if halo_lo > strip_lanes or halo_hi > strip_lanes:
+        return ShardedLaneOp(
+            n_out=n_out, c=c, m=m, tile=tile,
+            strip_lanes=strip_lanes, halo_lo=0, halo_hi=0,
+            win_l=0, lanes_pad=0,
+            offs_l=np.zeros((n_dev, blocks), np.int32),
+            taps_hi=None, taps_lo=None, taps_q1=None, taps_q0=None,
+            q_shift=0, chunk_rel=None, win_c=0,
+            ctaps_hi=None, ctaps_lo=None, ctaps_q1=None, ctaps_q0=None,
+            l1_max=0.0, q_abs1=0, q_abs0=0, use_all_gather=True,
+        )
+    # 128-align the low halo when it fits (local window starts stay
+    # 128-aligned after interior rebasing); otherwise keep the channel
+    # phase only (multiple of c — required by the C=4 alpha-bypass
+    # lane mask, whose window-local ``lane % c`` assumes pixel-aligned
+    # global window starts).
+    if halo_lo > 0:
+        if _round_up(halo_lo, 128) <= strip_lanes:
+            halo_lo = _round_up(halo_lo, 128)
+        else:
+            halo_lo = _round_up(halo_lo, c)
+
+    # Uniform window size: max span over all (device, block) windows,
+    # plus up to 127 lanes of floor-alignment slack.
+    offs = np.zeros((n_dev, blocks), dtype=np.int64)
+    spans = np.zeros((n_dev, blocks), dtype=np.int64)
+    valid = np.zeros((n_dev, blocks), dtype=bool)
+    for d in range(n_dev):
+        base = d * strip_lanes - halo_lo
+        for b in range(blocks):
+            lo = d * m + b * tile
+            hi = min(lo + tile, (d + 1) * m, n_out)
+            if lo >= min((d + 1) * m, n_out):
+                continue
+            off = ((starts[lo] * c - base) // 128) * 128
+            assert off >= 0, (d, b, off)
+            offs[d, b] = off
+            spans[d, b] = (starts[hi - 1] + width) * c - base - off
+            valid[d, b] = True
+    win_l = _round_up(int(spans.max()), 128)
+
+    # Overrunning tail windows: pull them left so they end at the
+    # buffer's end (the extra left coverage carries zero taps and
+    # costs nothing).  The pulled offsets must stay 128-aligned, so
+    # first bump the high halo by < 128 lanes to make
+    # ext_len - win_l a multiple of 128 — after which the pull always
+    # covers (every window's end fits in ext_len by construction).
+    # Only when the bump doesn't fit the strip does the old fallback
+    # run: a full halo extension, else the kernel-side pad copy.
+    ext_len = halo_lo + strip_lanes + halo_hi
+    lanes_need = int(offs.max()) + win_l
+    if lanes_need > ext_len:
+        delta = (-(ext_len - win_l)) % 128
+        if delta and halo_hi + delta <= strip_lanes:
+            halo_hi += delta
+            ext_len += delta
+        max_off = ext_len - win_l
+        pull = np.maximum(offs - max(max_off, 0), 0)
+        if (
+            max_off >= 0
+            and max_off % 128 == 0
+            and int((spans + pull).max()) <= win_l
+        ):
+            offs -= pull
+        else:
+            extra = int(offs.max()) + win_l - ext_len
+            if extra > 0 and halo_hi + extra <= strip_lanes:
+                halo_hi += extra
+                ext_len += extra
+    lanes_pad = max(int(offs.max()) + win_l, ext_len)
+
+    dense = np.zeros(
+        (n_dev, blocks, win_l, tile * c), dtype=np.float32
+    )
+    for d in range(n_dev):
+        base = d * strip_lanes - halo_lo
+        for b in range(blocks):
+            if not valid[d, b]:
+                continue
+            lo = d * m + b * tile
+            hi = min(lo + tile, (d + 1) * m, n_out)
+            for i in range(lo, hi):
+                s_l = int(starts[i]) * c - base - int(offs[d, b])
+                t = i - lo
+                for ch in range(c):
+                    dense[
+                        d, b,
+                        (s_l + ch) : (s_l + width * c + ch) : c,
+                        t * c + ch,
+                    ] = op.taps[i]
+
+    # Shared fixed-point scales / norms over ALL devices (bit-parity
+    # with the single-chip lane operator; see ops/lanes.py).
+    q1 = q0 = None
+    q_shift = 0
+    if in_bytes <= 1:
+        from ..ops.intq import first_pass_overflow_safe, quantize_limbs
+
+        q1, q0, q_shift = quantize_limbs(dense)
+        if not first_pass_overflow_safe(q1, q0, contract_axis=2):
+            q1 = q0 = None  # pragma: no cover - pathological taps
+    l1_max = float(np.abs(dense).sum(axis=2).max())
+    q_abs1 = 0 if q1 is None else int(
+        np.abs(q1.astype(np.int64)).sum(axis=2).max()
+    )
+    q_abs0 = 0 if q0 is None else int(
+        np.abs(q0.astype(np.int64)).sum(axis=2).max()
+    )
+
+    from ..ops.banded import _bf16_split_np
+
+    hi_np, lo_np = _bf16_split_np(dense)
+
+    # Chunked banded form: per 128-lane output chunk, the sub-window
+    # of contraction lanes touched across ALL devices and blocks (the
+    # chunk offsets are baked into the kernel as static constants, so
+    # they must be device-invariant).
+    chunk_rel = None
+    win_c = 0
+    c_hi = c_lo = c_q1 = c_q0 = None
+    n_ch = (tile * c) // 128
+    if n_ch > 1 and (tile * c) % 128 == 0:
+        rel = np.empty(n_ch, dtype=np.int64)
+        ends = np.empty(n_ch, dtype=np.int64)
+        for j in range(n_ch):
+            used = np.nonzero(
+                np.any(
+                    dense[:, :, :, j * 128 : (j + 1) * 128],
+                    axis=(0, 1, 3),
+                )
+            )[0]
+            lo_u, hi_u = (
+                (int(used[0]), int(used[-1]) + 1)
+                if used.size else (0, 1)
+            )
+            rel[j] = (lo_u // 128) * 128
+            ends[j] = hi_u
+        win_c = _round_up(int((ends - rel).max()), 128)
+        if win_c < win_l:
+            rel = np.minimum(rel, win_l - win_c)
+            chunk_rel = tuple(int(r) for r in rel)
+            sl = [
+                (slice(None), slice(None), slice(r, r + win_c),
+                 slice(j * 128, (j + 1) * 128))
+                for j, r in enumerate(chunk_rel)
+            ]
+            c_hi = np.stack([hi_np[s] for s in sl], axis=2)
+            c_lo = np.stack([lo_np[s] for s in sl], axis=2)
+            if q1 is not None:
+                c_q1 = np.stack([q1[s] for s in sl], axis=2)
+                c_q0 = np.stack([q0[s] for s in sl], axis=2)
+
+    b0, b1 = _interior_split(
+        offs, valid, halo_lo, strip_lanes, win_l
+    )
+    if halo_lo % 128:
+        # Interior rebasing (offs - halo_lo) must keep 128-lane
+        # alignment for the kernel's element-offset windows.
+        logger.debug(
+            "2-D interior/halo overlap disabled on cols: halo_lo=%d "
+            "not 128-aligned", halo_lo,
+        )
+        b0 = b1 = 0
+    return ShardedLaneOp(
+        n_out=n_out, c=c, m=m, tile=tile,
+        strip_lanes=strip_lanes, halo_lo=halo_lo, halo_hi=halo_hi,
+        win_l=win_l, lanes_pad=lanes_pad,
+        offs_l=offs.astype(np.int32),
+        taps_hi=hi_np, taps_lo=lo_np, taps_q1=q1, taps_q0=q0,
+        q_shift=q_shift, chunk_rel=chunk_rel, win_c=win_c,
+        ctaps_hi=c_hi, ctaps_lo=c_lo, ctaps_q1=c_q1, ctaps_q0=c_q0,
+        l1_max=l1_max, q_abs1=q_abs1, q_abs0=q_abs0,
+        use_all_gather=False, b_int0=b0, b_int1=b1,
+    )
+
+
 def _apply_local_blocked(
     x: jax.Array, offs: jax.Array, taps: jax.Array, mode: str
 ) -> jax.Array:
@@ -566,6 +833,383 @@ def _pallas_strip_fn(
     return pallas_fn
 
 
+class _ShapeOnly:
+    """Stand-in for a tap tensor consumed only for its ``.shape`` at
+    trace time (apply_fused_pallas reads lop.taps_hi.shape even when
+    the kernel streams the chunked/int8 forms)."""
+
+    def __init__(self, shape):
+        self.shape = tuple(shape)
+
+
+def _h_tap_arrays(slb: ShardedLaneOp, use_int8: bool):
+    """(ta, tb, chunked) — the two per-device H tap tensors the fused
+    kernel streams for this mode, as host numpy [n_dev, blocks, ...]."""
+    if use_int8:
+        if slb.ctaps_q1 is not None:
+            return slb.ctaps_q1, slb.ctaps_q0, True
+        return slb.taps_q1, slb.taps_q0, False
+    if slb.ctaps_hi is not None:
+        return slb.ctaps_hi, slb.ctaps_lo, True
+    return slb.taps_hi, slb.taps_lo, False
+
+
+def _pallas_strip_fn_2d(
+    svb: ShardedVOp,
+    slb: ShardedLaneOp,
+    ext_rows: int,
+    use_int8: bool,
+    modes: tuple,
+    fused_kwargs: dict,
+    v_qmeta: tuple,
+    v_q_np: tuple,
+    m_h: int,
+    out_lanes: int,
+    rows_axis: str,
+    cols_axis: str,
+    fwd_r, bwd_r, fwd_c, bwd_c,
+    interpret: bool,
+    in_bytes: int = 1,
+):
+    """Per-device tile body for the 2-D (rows x cols) fused-Pallas
+    route: both halo exchanges ride the RAW integer tile (cheapest
+    bytes, and the fused kernel needs the raw window anyway — V and H
+    run inside ONE kernel, so there is no f32 intermediate to exchange
+    on), then the SAME fused two-pass kernel as the single-chip hot
+    path runs on the doubly-extended tile.
+
+    Overlap structure (u8 tiles; 2/4-byte tiles run one blocking call,
+    same Mosaic scoped-VMEM constraint as the 1-D strips):
+
+      A. (V-interior x H-interior) blocks on the LOCAL tile — no data
+         dependency on either collective;
+      B. (V-interior x H-border) blocks on the column-extended tile —
+         overlaps the row-halo ppermutes;
+      C. (V-border x all-H) blocks on the fully extended tile.
+
+    The redundant work vs. exchanging the f32 intermediate between
+    passes is the V pass over the halo COLUMNS (halo_lanes/ext_lanes
+    of V MACs, a few percent at production geometries) — bought back
+    many times over by running both passes at the fused kernel's
+    single-chip rate (VERDICT r4 item 1).
+
+    Returns (body, consts, const_specs): ``consts`` are host-numpy
+    per-device tap/offset tensors, sharded over ``rows_axis`` (V) or
+    ``cols_axis`` (H)."""
+    from jax.sharding import PartitionSpec as _P
+
+    from ..ops.banded import BlockedBandedOp
+
+    v_qshift, v_l1, v_qa1, v_qa0 = v_qmeta
+    n_blocks_v = svb.taps.shape[1]
+    n_blocks_h = slb.n_blocks
+    tc = slb.tile * slb.c
+
+    b0v, b1v = svb.b_int0, svb.b_int1
+    b0h, b1h = slb.b_int0, slb.b_int1
+    split = (
+        in_bytes == 1
+        and b1v > b0v
+        and not (b0v == 0 and b1v == n_blocks_v)
+    )
+    # Without H-interior blocks the (A, B) pair collapses into one
+    # (V-interior x all-H) call on the column-extended tile — the
+    # column-halo time goes exposed but the row halos still overlap.
+    split_h = split and b1h > b0h and not (
+        b0h == 0 and b1h == n_blocks_h
+    )
+    if not split:
+        b0v, b1v = 0, 0
+    if not split_h:
+        b0h, b1h = 0, 0
+
+    ta_np, tb_np, chunked = _h_tap_arrays(slb, use_int8)
+    h_bnd_idx = list(range(b0h)) + list(range(b1h, n_blocks_h))
+
+    def h_subset(idx):
+        idx = np.asarray(idx, dtype=np.int64)
+        return (
+            slb.offs_l[:, idx],
+            np.ascontiguousarray(ta_np[:, idx]),
+            np.ascontiguousarray(tb_np[:, idx]),
+        )
+
+    # Const layout: V group then H group(s); specs mirror the axes.
+    consts: list = [svb.offs, svb.taps, *v_q_np]
+    specs: list = [_P(rows_axis)] * len(consts)
+    if split_h:
+        off_i, ta_i, tb_i = h_subset(range(b0h, b1h))
+        off_b, ta_b, tb_b = h_subset(h_bnd_idx)
+        h_consts = [off_i, ta_i, tb_i, off_b, ta_b, tb_b]
+    else:
+        h_consts = [slb.offs_l, ta_np, tb_np]
+    consts += h_consts
+    specs += [_P(cols_axis)] * len(h_consts)
+
+    def mk_vop(offs_sub, taps_sub, n_in, n_in_pad, q1, q0):
+        th = taps_sub.astype(jnp.bfloat16)
+        th = jax.lax.optimization_barrier(th)
+        tl = (taps_sub - th.astype(jnp.float32)).astype(jnp.bfloat16)
+        return BlockedBandedOp(
+            n_in=n_in,
+            n_out=taps_sub.shape[0] * svb.tile,
+            n_in_pad=n_in_pad,
+            tile=svb.tile,
+            win=svb.win,
+            offs=offs_sub,
+            taps=taps_sub,
+            taps_hi=th,
+            taps_lo=tl,
+            taps_q1=q1,
+            taps_q0=q0,
+            q_shift=v_qshift,
+            l1_max=v_l1,
+            q_abs1=v_qa1,
+            q_abs0=v_qa0,
+        )
+
+    def mk_lop(offs_sub, ta, tb, lanes_pad):
+        nb = offs_sub.shape[0]
+        kw = dict(
+            n_in=slb.strip_lanes // slb.c,
+            n_out=nb * slb.tile,
+            c=slb.c,
+            tile=slb.tile,
+            win_l=slb.win_l,
+            lanes_pad=lanes_pad,
+            offs_l=offs_sub,
+            q_shift=slb.q_shift,
+            l1_max=slb.l1_max,
+            q_abs1=slb.q_abs1,
+            q_abs0=slb.q_abs0,
+            chunk_rel=slb.chunk_rel if chunked else None,
+            win_c=slb.win_c if chunked else 0,
+        )
+        stub = _ShapeOnly((nb, slb.win_l, tc))
+        if use_int8:
+            kw["taps_hi"] = stub
+            kw["taps_lo"] = stub
+            if chunked:
+                kw["ctaps_q1"], kw["ctaps_q0"] = ta, tb
+                # The kernel streams the chunked limbs; the dense limb
+                # fields only gate the is-None feasibility check.
+                kw["taps_q1"] = stub
+                kw["taps_q0"] = stub
+            else:
+                kw["taps_q1"], kw["taps_q0"] = ta, tb
+        elif chunked:
+            kw["taps_hi"] = stub
+            kw["taps_lo"] = stub
+            kw["ctaps_hi"], kw["ctaps_lo"] = ta, tb
+        else:
+            kw["taps_hi"], kw["taps_lo"] = ta, tb
+        from ..ops.lanes import LaneBlockedOp
+
+        return LaneBlockedOp(**kw)
+
+    def fused(vop_local, lop_local, xin):
+        from ..ops.pallas.fused_kernel import apply_fused_pallas
+
+        mv, mh = modes
+        return apply_fused_pallas(
+            vop_local, lop_local, xin, mv, mh,
+            order="vh", interpret=interpret, **fused_kwargs,
+        )
+
+    strip_pad = _round_up(svb.strip, 32)
+
+    def pad_to(x, rows, lanes):
+        parts_l = [x]
+        if lanes > x.shape[1]:
+            parts_l.append(
+                jnp.zeros((x.shape[0], lanes - x.shape[1]), x.dtype)
+            )
+        x = (
+            jnp.concatenate(parts_l, axis=1)
+            if len(parts_l) > 1 else x
+        )
+        if rows > x.shape[0]:
+            x = jnp.concatenate(
+                [x, jnp.zeros((rows - x.shape[0], lanes), x.dtype)]
+            )
+        return x
+
+    def body(x, *cs):
+        # x: [strip_r, strip_lanes] raw local tile.
+        cs = [a[0] for a in cs]
+        v_offs, v_taps = cs[0], cs[1]
+        pos = 2
+        if use_int8:
+            vq1, vq0 = cs[2], cs[3]
+            pos = 4
+        else:
+            vq1 = vq0 = None
+        hc = cs[pos:]
+
+        # --- column halos on the raw tile (cols_axis) ----------------
+        c_lo = (
+            jax.lax.ppermute(
+                x[:, -slb.halo_lo :], cols_axis, fwd_c
+            )
+            if slb.halo_lo > 0 else None
+        )
+        c_hi = (
+            jax.lax.ppermute(x[:, : slb.halo_hi], cols_axis, bwd_c)
+            if slb.halo_hi > 0 else None
+        )
+
+        def build_xc():
+            parts = [p for p in (c_lo, x, c_hi) if p is not None]
+            xc = (
+                jnp.concatenate(parts, axis=1)
+                if len(parts) > 1 else parts[0]
+            )
+            return xc
+
+        if not split:
+            xc = build_xc()
+            r_lo = (
+                jax.lax.ppermute(
+                    xc[-svb.halo_lo :], rows_axis, fwd_r
+                )
+                if svb.halo_lo > 0 else None
+            )
+            r_hi = (
+                jax.lax.ppermute(xc[: svb.halo_hi], rows_axis, bwd_r)
+                if svb.halo_hi > 0 else None
+            )
+            parts = [p for p in (r_lo, xc, r_hi) if p is not None]
+            ext = (
+                jnp.concatenate(parts, axis=0)
+                if len(parts) > 1 else parts[0]
+            )
+            ext = pad_to(ext, ext_rows, slb.lanes_pad)
+            h_offs, h_ta, h_tb = hc
+            vop_l = mk_vop(
+                v_offs, v_taps, ext.shape[0], ext_rows, vq1, vq0
+            )
+            lop_l = mk_lop(h_offs, h_ta, h_tb, slb.lanes_pad)
+            out = fused(vop_l, lop_l, ext)
+            return out[:m_h, :out_lanes]
+
+        # --- overlapped 3-call structure (u8 tiles) ------------------
+        xc = build_xc()
+        r_lo = (
+            jax.lax.ppermute(xc[-svb.halo_lo :], rows_axis, fwd_r)
+            if svb.halo_lo > 0 else None
+        )
+        r_hi = (
+            jax.lax.ppermute(xc[: svb.halo_hi], rows_axis, bwd_r)
+            if svb.halo_hi > 0 else None
+        )
+
+        def vq_sub(q, lo, hi):
+            return None if q is None else q[lo:hi]
+
+        # A: interior x interior on the LOCAL tile — issued with no
+        # dependency on either collective.
+        if split_h:
+            (h_off_i, h_ta_i, h_tb_i,
+             h_off_b, h_ta_b, h_tb_b) = hc
+            x_loc = pad_to(x, strip_pad, slb.strip_lanes)
+            vop_int = mk_vop(
+                v_offs[b0v:b1v] - svb.halo_lo, v_taps[b0v:b1v],
+                x_loc.shape[0], strip_pad,
+                vq_sub(vq1, b0v, b1v), vq_sub(vq0, b0v, b1v),
+            )
+            lop_int = mk_lop(
+                h_off_i - slb.halo_lo, h_ta_i, h_tb_i,
+                slb.strip_lanes,
+            )
+            out_a = fused(vop_int, lop_int, x_loc)
+            # B: interior-V x border-H on the column-extended tile —
+            # overlaps the row-halo ppermutes.
+            xc_p = pad_to(xc, strip_pad, slb.lanes_pad)
+            lop_bnd = mk_lop(h_off_b, h_ta_b, h_tb_b, slb.lanes_pad)
+            out_b = fused(vop_int, lop_bnd, xc_p)
+            mid = jnp.concatenate(
+                [
+                    out_b[:, : b0h * tc],
+                    out_a,
+                    out_b[:, b0h * tc :],
+                ],
+                axis=1,
+            )
+        else:
+            h_offs, h_ta, h_tb = hc
+            xc_p = pad_to(xc, strip_pad, slb.lanes_pad)
+            vop_int = mk_vop(
+                v_offs[b0v:b1v] - svb.halo_lo, v_taps[b0v:b1v],
+                xc_p.shape[0], strip_pad,
+                vq_sub(vq1, b0v, b1v), vq_sub(vq0, b0v, b1v),
+            )
+            lop_all = mk_lop(h_offs, h_ta, h_tb, slb.lanes_pad)
+            mid = fused(vop_int, lop_all, xc_p)
+
+        # C: border-V x all-H on the fully extended tile (one call:
+        # lo and hi border blocks stacked; output rows are compact in
+        # that order).
+        parts = [p for p in (r_lo, xc, r_hi) if p is not None]
+        ext = (
+            jnp.concatenate(parts, axis=0)
+            if len(parts) > 1 else parts[0]
+        )
+        ext = pad_to(ext, ext_rows, slb.lanes_pad)
+        vb_idx = list(range(b0v)) + list(range(b1v, n_blocks_v))
+        if vb_idx:
+            v_off_b = jnp.concatenate(
+                [v_offs[:b0v], v_offs[b1v:]]
+            )
+            v_tap_b = jnp.concatenate(
+                [v_taps[:b0v], v_taps[b1v:]]
+            )
+            q1b = (
+                None if vq1 is None
+                else jnp.concatenate([vq1[:b0v], vq1[b1v:]])
+            )
+            q0b = (
+                None if vq0 is None
+                else jnp.concatenate([vq0[:b0v], vq0[b1v:]])
+            )
+            vop_bnd = mk_vop(
+                v_off_b, v_tap_b, ext.shape[0], ext_rows, q1b, q0b
+            )
+            if split_h:
+                # Reassemble the full H operator for the border rows:
+                # interior and border tap consts concatenated back in
+                # original block order.
+                (h_off_i, h_ta_i, h_tb_i,
+                 h_off_b, h_ta_b, h_tb_b) = hc
+                h_off_full = jnp.concatenate(
+                    [h_off_b[:b0h], h_off_i, h_off_b[b0h:]]
+                )
+                h_ta_full = jnp.concatenate(
+                    [h_ta_b[:b0h], h_ta_i, h_ta_b[b0h:]]
+                )
+                h_tb_full = jnp.concatenate(
+                    [h_tb_b[:b0h], h_tb_i, h_tb_b[b0h:]]
+                )
+            else:
+                h_off_full, h_ta_full, h_tb_full = hc
+            lop_full = mk_lop(
+                h_off_full, h_ta_full, h_tb_full, slb.lanes_pad
+            )
+            out_c = fused(vop_bnd, lop_full, ext)
+            out = jnp.concatenate(
+                [
+                    out_c[: b0v * svb.tile],
+                    mid,
+                    out_c[b0v * svb.tile :],
+                ],
+                axis=0,
+            )
+        else:
+            out = mid
+        return out[:m_h, :out_lanes]
+
+    return body, consts, specs
+
+
 def _slice_padded_out(
     out, mesh, new_h, new_wc, rows_axis, cols_axis=None,
     batch_axis=None,
@@ -765,9 +1409,11 @@ def make_sharded_avir_executor(
             and plan.out_type_max == 255.0
             and lop.taps_q1 is not None
             # errdiff feeds back its quantizer residual; the pre-dither
-            # image must be full precision (same exclusion as the
-            # single-chip int8_ok, models/runtime.py).
+            # image must be full precision — and sub-8-bit outputs
+            # quantize in 2^trunc_bits-LSB steps (same exclusions as
+            # the single-chip int8_ok, models/runtime.py).
             and not errdiff
+            and trunc_bits == 0
         )
         q_consts = ()
         v_qshift = 0
@@ -1177,6 +1823,9 @@ def make_sharded_avir_executor_2d(
     precision: str = "auto",
     tile: int = 64,
     dither: str = "default",
+    engine: str = "auto",
+    interpret: bool = False,
+    pallas_tile: int | None = None,
 ) -> Callable[[jax.Array], jax.Array]:
     """2-D intra-image sharding: rows x columns over an (r x s) mesh
     grid (VERDICT r3 item 5 / SURVEY §2.3's distributed equivalent).
@@ -1188,21 +1837,37 @@ def make_sharded_avir_executor_2d(
     2160-row x 1920-col tiles at 8K vs 540-row full-width strips — so
     each pass keeps interior blocks and the knee moves out.
 
-    Structure (no all-to-all needed — each pass exchanges halos along
-    its OWN mesh axis, the classic 2-D stencil decomposition):
+    Two per-device bodies (same selection rule as the 1-D maker):
 
-      1. column halos ppermute along ``cols_axis`` on the RAW tile
-         (cheapest bytes);
-      2. pack + gamma + H pass contracting the local column extent;
-      3. row halos ppermute along ``rows_axis`` on the f32
-         H-resized tile (now new_w/s columns wide);
+    On a TPU backend (``engine='auto'``/'pallas'; ``interpret=True``
+    forces it on CPU meshes) each device runs the SAME fused two-pass
+    Pallas kernel as the single-chip hot path — int8 fixed-point for
+    u8 pipelines — on its raw tile extended by BOTH halos
+    (``_pallas_strip_fn_2d``): column halos ppermute along
+    ``cols_axis`` on the raw integer tile, row halos along
+    ``rows_axis`` on the column-extended raw tile (both exchanges ride
+    the cheapest bytes; V and H run inside one kernel, so there is no
+    f32 intermediate to exchange on), with the (interior x interior)
+    kernel call issued before either collective's results are
+    consumed.  Per-chip work matches the single-chip fused kernel plus
+    the V pass over the halo columns (a few percent).
+
+    ``engine='xla'`` (or non-viable configs) keeps the portable
+    gather+matmul body — the classic 2-D stencil decomposition with an
+    exchange per pass:
+
+      1. pack + gamma on the local tile (elementwise — bit-identical
+         to linearizing the assembled image);
+      2. column halos ppermute along ``cols_axis`` on the f32
+         TRANSPOSED tile, H pass contracting the local column extent
+         (interior column blocks overlap the ppermutes);
+      3. row halos ppermute along ``rows_axis`` on the f32 H-resized
+         tile (now new_w/s columns wide);
       4. V pass, gamma-out, dither.
 
     Input: [H_pad, W_pad*C] (``pad_rows`` + ``pad_cols``), or
     [B, H_pad, W_pad*C] with ``batch_axis``.  Output [new_h, new_w*C]
-    sharded over (rows_axis, cols_axis).  XLA gather+matmul engine
-    (portable); the fused-Pallas strip body remains 1-D row sharding
-    (``make_sharded_avir_executor``).
+    sharded over (rows_axis, cols_axis).
 
     ``dither="errdiff"`` gathers the small pre-dither output over both
     axes and runs the wavefront in-graph, as in the 1-D maker.
@@ -1233,6 +1898,9 @@ def make_sharded_avir_executor_2d(
     svv = shard_v_op(plan.v.op, r, padded_h, tile=tile)
     svh = shard_v_op(plan.h.op, s, padded_w, tile=tile)
     m_h, m_w = svv.m, svh.m
+    in_b = 4 if plan.is_in_float else (
+        1 if plan.in_type_max == 255.0 else 2
+    )
 
     out_bits = 8 if plan.out_type_max == 255.0 else 16
     trunc_bits = 0 if plan.is_out_float else out_bits - plan.res_bit_depth
@@ -1246,6 +1914,142 @@ def make_sharded_avir_executor_2d(
     bwd_r = [(i + 1, i) for i in range(r - 1)]
     fwd_c = [(i, i + 1) for i in range(s - 1)]
     bwd_c = [(i + 1, i) for i in range(s - 1)]
+
+    # --- fused-Pallas per-device body (the TPU production route) ------
+    pallas_strips = (
+        _use_pallas_strips(engine, interpret)
+        and precision != "exact"
+    )
+    svb = slb = None
+    if pallas_strips:
+        svb = shard_v_blocked(
+            plan.v.op, r, padded_h, tile=pallas_tile, in_bytes=in_b
+        )
+        slb = shard_lane_blocked(
+            plan.h.op, s, padded_w, c, in_bytes=in_b
+        )
+        if svb.use_all_gather or slb.use_all_gather:
+            logger.debug(
+                "2-D pallas strips unavailable (halo exceeds a strip "
+                "on some axis); falling back to the XLA route"
+            )
+            pallas_strips = False
+    if pallas_strips and not interpret:
+        import types
+
+        from ..ops.pallas.fused_kernel import fused_viable_shapes
+
+        probe_h = types.SimpleNamespace(
+            taps_hi=_ShapeOnly(
+                (slb.n_blocks, slb.win_l, slb.tile * c)
+            ),
+            ctaps_hi=(
+                None if slb.ctaps_hi is None
+                else _ShapeOnly(
+                    (slb.n_blocks, slb.ctaps_hi.shape[2],
+                     slb.win_c, 128)
+                )
+            ),
+            win_c=slb.win_c,
+        )
+        downsize = (
+            plan.v.op.n_out * plan.h.op.n_out
+            <= plan.v.op.n_in * plan.h.op.n_in
+        )
+        htb = 1 if (in_b >= 2 and not downsize) else 2
+        if not fused_viable_shapes(
+            svb.tile, svb.win, probe_h, "vh", in_bytes=in_b,
+            h_tap_buffers=htb,
+        ):
+            logger.debug(
+                "2-D pallas strips not VMEM-viable for this config; "
+                "falling back to the XLA route"
+            )
+            pallas_strips = False
+    if pallas_strips:
+        if in_b >= 2:
+            # Single blocking kernel for 2/4-byte tiles (the V split's
+            # border outputs blow Mosaic's scoped VMEM — see the 1-D
+            # maker).
+            svb = dataclasses.replace(svb, b_int0=0, b_int1=0)
+            slb = dataclasses.replace(slb, b_int0=0, b_int1=0)
+        ext_rows = _round_up(
+            max(
+                int(svb.offs.max()) + svb.win,
+                svb.halo_lo + svb.strip + svb.halo_hi,
+            ),
+            32,
+        )
+        use_int8 = (
+            precision == "auto"
+            and not plan.is_in_float
+            and plan.in_type_max == 255.0
+            and not plan.is_out_float
+            and plan.out_type_max == 255.0
+            and not errdiff
+            and slb.taps_q1 is not None
+            # Sub-8-bit outputs quantize in 2^trunc_bits-LSB steps;
+            # keep the bf16 splits' headroom (same exclusion as the
+            # single-chip int8_ok, models/runtime.py).
+            and trunc_bits == 0
+        )
+        v_q_np = ()
+        v_qshift = 0
+        v_l1 = 0.0
+        v_qa1 = v_qa0 = 0
+        if use_int8:
+            import types
+
+            from ..ops.intq import (
+                first_pass_overflow_safe,
+                quantize_limbs,
+            )
+            from ..ops.pallas.fused_kernel import int8_feasible
+
+            q1, q0, v_qshift = quantize_limbs(svb.taps)
+            v_l1 = float(np.abs(svb.taps).sum(axis=3).max())
+            v_qa1 = int(np.abs(q1.astype(np.int64)).sum(axis=3).max())
+            v_qa0 = int(np.abs(q0.astype(np.int64)).sum(axis=3).max())
+            probe_v = types.SimpleNamespace(
+                taps_q1=q1, q_shift=v_qshift, l1_max=v_l1,
+                q_abs1=v_qa1, q_abs0=v_qa0,
+            )
+            probe_hq = types.SimpleNamespace(
+                taps_q1=slb.taps_q1, q_shift=slb.q_shift,
+                l1_max=slb.l1_max, q_abs1=slb.q_abs1,
+                q_abs0=slb.q_abs0,
+            )
+            use_int8 = first_pass_overflow_safe(
+                q1, q0, contract_axis=3
+            ) and int8_feasible(
+                probe_v, probe_hq, "vh", plan.use_srgb_gamma
+            )
+            if use_int8:
+                v_q_np = (q1, q0)
+
+        pbody, pconsts, pspecs = _pallas_strip_fn_2d(
+            svb, slb, ext_rows, use_int8,
+            ("int8", "int8") if use_int8 else (
+                mode_first, mode_second
+            ),
+            dict(
+                out_dtype=(
+                    out_dt
+                    if not plan.is_out_float and not errdiff
+                    else jnp.float32
+                ),
+                out_max=plan.out_type_max,
+                trunc_bits=0 if errdiff else trunc_bits,
+                gamma=plan.use_srgb_gamma,
+                alpha_index=plan.alpha_index,
+                in_gamma_mult=plan.in_gamma_mult,
+                out_gamma_mult=plan.out_gamma_mult,
+            ),
+            (v_qshift, v_l1, v_qa1, v_qa0),
+            v_q_np,
+            m_h, m_w * c, rows_axis, cols_axis,
+            fwd_r, bwd_r, fwd_c, bwd_c, interpret, in_bytes=in_b,
+        )
 
     v_offs_c = jnp.asarray(svv.offs)
     v_taps_c = jnp.asarray(svv.taps)
@@ -1329,6 +2133,16 @@ def make_sharded_avir_executor_2d(
         z = default_dither_jnp(z, trunc_bits, plan.out_type_max)
         return z.astype(out_dt)
 
+    if pallas_strips:
+        body = pbody
+        consts = tuple(jnp.asarray(a) for a in pconsts)
+        cspecs = tuple(pspecs)
+    else:
+        consts = (v_offs_c, v_taps_c, h_offs_c, h_taps_c)
+        cspecs = (
+            P(rows_axis), P(rows_axis), P(cols_axis), P(cols_axis)
+        )
+
     if errdiff:
         from ..ops.dither import (
             errdiff_dither_jnp,
@@ -1363,8 +2177,6 @@ def make_sharded_avir_executor_2d(
             )
             return mine.astype(out_dt)
 
-    consts = (v_offs_c, v_taps_c, h_offs_c, h_taps_c)
-    cspecs = (P(rows_axis), P(rows_axis), P(cols_axis), P(cols_axis))
     if batch_axis is None:
         inner = jax.shard_map(
             body,

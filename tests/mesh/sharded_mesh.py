@@ -469,3 +469,152 @@ def test_sharded_2d_errdiff_and_batch():
         single = rz.resize(batch[i], 24, 32, dither="errdiff")
         got = out[i].reshape(32, 24, 3)
         assert np.abs(got.astype(int) - single.astype(int)).max() <= 1
+
+
+def test_sharded_2d_pallas_strips_matches_single():
+    """The fused-Pallas 2-D tile body (VERDICT r4 item 1): both halo
+    exchanges ride the RAW tile and each device runs the single-chip
+    fused int8 kernel on its doubly-extended tile, with the
+    interior x interior call issued before either collective.  Matches
+    the single-chip result <= 1 LSB."""
+    from avir_tpu.parallel.sharded import (
+        make_sharded_avir_executor_2d,
+        pad_cols,
+    )
+
+    mesh = jax.make_mesh((2, 4), ("sp", "cp"))
+    src = xorshift128_fill((192, 256, 3), np.uint8, 811)
+    plan = build_resize_plan(256, 192, 128, 96, 3, np.uint8, np.uint8)
+    fn = make_sharded_avir_executor_2d(
+        plan, mesh, engine="pallas", interpret=True
+    )
+    flat = pad_cols(pad_rows(src.reshape(192, -1), 2), 4, 3)
+    out = np.asarray(fn(flat)).reshape(96, 128, 3)
+    single = avir_tpu.resize(src, 128, 96)
+    assert np.abs(out.astype(int) - single.astype(int)).max() <= 1
+
+
+def test_sharded_2d_pallas_strips_gamma_oddshapes():
+    """2-D pallas strips with in-kernel sRGB gamma + alpha bypass on
+    odd (non-dividing) shapes and a 4x2 grid."""
+    from avir_tpu.models.avir import ImageResizer
+    from avir_tpu.parallel.sharded import (
+        make_sharded_avir_executor_2d,
+        pad_cols,
+    )
+
+    mesh = jax.make_mesh((4, 2), ("sp", "cp"))
+    src = xorshift128_fill((90, 70, 4), np.uint8, 912)
+    plan = build_resize_plan(
+        70, 90, 50, 62, 4, np.uint8, np.uint8,
+        use_srgb_gamma=True, alpha_index=3,
+    )
+    fn = make_sharded_avir_executor_2d(
+        plan, mesh, engine="pallas", interpret=True
+    )
+    flat = pad_cols(pad_rows(src.reshape(90, -1), 4), 2, 4)
+    out = np.asarray(fn(flat)).reshape(62, 50, 4)
+    rz = ImageResizer()
+    single = rz.resize(
+        src, 50, 62, use_srgb_gamma=True, alpha_index=3
+    )
+    assert np.abs(out.astype(int) - single.astype(int)).max() <= 1
+
+
+def test_sharded_2d_pallas_strips_upsize_u16():
+    """2-D pallas strips on a u16 upsize (split-bf16 modes, single
+    blocking kernel — the 2/4-byte scoped-VMEM rule): parity with the
+    single-chip FUSED route <= 1 LSB (the fused kernel itself carries
+    the suite's 4-LSB u16 envelope vs the f64 oracle)."""
+    from avir_tpu.models.runtime import make_avir_executor
+    from avir_tpu.parallel.sharded import (
+        make_sharded_avir_executor_2d,
+        pad_cols,
+    )
+    import avir_tpu.ops.pallas.fused_kernel as fk
+
+    orig = fk.apply_fused_pallas
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    mesh = jax.make_mesh((2, 2), ("sp", "cp"))
+    src = xorshift128_fill((96, 128, 4), np.uint16, 913)
+    plan = build_resize_plan(
+        128, 96, 192, 256, 4, np.uint16, np.uint16,
+        res_bit_depth=16,
+    )
+    fn = make_sharded_avir_executor_2d(
+        plan, mesh, engine="pallas", interpret=True
+    )
+    flat = pad_cols(pad_rows(src.reshape(96, -1), 2), 2, 4)
+    out = np.asarray(fn(flat)).reshape(256, 192, 4)
+    fk.apply_fused_pallas = interp
+    try:
+        single = np.asarray(
+            make_avir_executor(plan, engine="pallas")(
+                src.reshape(96, -1)
+            )
+        ).reshape(256, 192, 4)
+    finally:
+        fk.apply_fused_pallas = orig
+    assert np.abs(out.astype(int) - single.astype(int)).max() <= 1
+
+
+def test_sharded_2d_pallas_errdiff_and_batch():
+    """2-D pallas strips with error diffusion (pre-dither gather over
+    both axes) and under a dp batch axis (vmapped tile body)."""
+    from avir_tpu.models.avir import ImageResizer
+    from avir_tpu.parallel.sharded import (
+        make_sharded_avir_executor_2d,
+        pad_cols,
+    )
+
+    mesh = jax.make_mesh((2, 2, 2), ("dp", "sp", "cp"))
+    rng = np.random.default_rng(5)
+    batch = rng.integers(0, 256, (2, 64, 48, 3), dtype=np.uint8)
+    plan = build_resize_plan(48, 64, 24, 32, 3, np.uint8, np.uint8)
+    fn = make_sharded_avir_executor_2d(
+        plan, mesh, batch_axis="dp", dither="errdiff",
+        engine="pallas", interpret=True,
+    )
+    flat = pad_cols(batch.reshape(2, 64, -1), 2, 3)
+    out = np.asarray(fn(flat))
+    assert out.shape == (2, 32, 24 * 3)
+    rz = ImageResizer()
+    for i in range(2):
+        single = rz.resize(batch[i], 24, 32, dither="errdiff")
+        got = out[i].reshape(32, 24, 3)
+        assert np.abs(got.astype(int) - single.astype(int)).max() <= 1
+
+
+def test_sharded_2d_pallas_overlapped_three_call():
+    """A geometry with interior blocks on BOTH axes exercises the full
+    overlapped structure: (V-int x H-int) on the local tile,
+    (V-int x H-border) on the column-extended tile, (V-border x all-H)
+    on the fully extended tile."""
+    from avir_tpu.parallel.sharded import (
+        make_sharded_avir_executor_2d,
+        pad_cols,
+        shard_lane_blocked,
+        shard_v_blocked,
+    )
+
+    plan = build_resize_plan(
+        1536, 1536, 768, 768, 3, np.uint8, np.uint8
+    )
+    # Preconditions: the split must actually engage on this geometry.
+    svb = shard_v_blocked(plan.v.op, 2, 1536, in_bytes=1)
+    slb = shard_lane_blocked(plan.h.op, 2, 1536, 3, in_bytes=1)
+    assert svb.b_int1 > svb.b_int0 and 0 < svb.b_int0
+    assert slb.b_int1 > slb.b_int0 and 0 < slb.b_int0
+
+    mesh = jax.make_mesh((2, 2), ("sp", "cp"))
+    src = xorshift128_fill((1536, 1536, 3), np.uint8, 914)
+    fn = make_sharded_avir_executor_2d(
+        plan, mesh, engine="pallas", interpret=True
+    )
+    out = np.asarray(fn(src.reshape(1536, -1))).reshape(768, 768, 3)
+    single = avir_tpu.resize(src, 768, 768)
+    assert np.abs(out.astype(int) - single.astype(int)).max() <= 1
