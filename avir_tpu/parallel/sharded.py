@@ -1034,9 +1034,15 @@ def _pallas_strip_fn_2d(
             )
         return x
 
-    def body(x, *cs):
-        # x: [strip_r, strip_lanes] raw local tile.
-        cs = [a[0] for a in cs]
+    def compute(x, xc, ext, cs):
+        """Collective-free per-device compute.  ``x`` is the raw local
+        tile, ``xc`` the column-extended tile, ``ext`` the fully
+        (rows+cols) extended tile; ``cs`` the per-device tap consts
+        (no leading device dim).  The halo assembly is the caller's:
+        ``body`` below builds xc/ext from ppermutes under shard_map;
+        tools/probe_strip2d_tpu.py slices them from the padded image
+        host-side to run the exact per-device kernels of an (r x s)
+        mesh on ONE real chip (mesh-emulation validation)."""
         v_offs, v_taps = cs[0], cs[1]
         pos = 2
         if use_int8:
@@ -1046,43 +1052,7 @@ def _pallas_strip_fn_2d(
             vq1 = vq0 = None
         hc = cs[pos:]
 
-        # --- column halos on the raw tile (cols_axis) ----------------
-        c_lo = (
-            jax.lax.ppermute(
-                x[:, -slb.halo_lo :], cols_axis, fwd_c
-            )
-            if slb.halo_lo > 0 else None
-        )
-        c_hi = (
-            jax.lax.ppermute(x[:, : slb.halo_hi], cols_axis, bwd_c)
-            if slb.halo_hi > 0 else None
-        )
-
-        def build_xc():
-            parts = [p for p in (c_lo, x, c_hi) if p is not None]
-            xc = (
-                jnp.concatenate(parts, axis=1)
-                if len(parts) > 1 else parts[0]
-            )
-            return xc
-
         if not split:
-            xc = build_xc()
-            r_lo = (
-                jax.lax.ppermute(
-                    xc[-svb.halo_lo :], rows_axis, fwd_r
-                )
-                if svb.halo_lo > 0 else None
-            )
-            r_hi = (
-                jax.lax.ppermute(xc[: svb.halo_hi], rows_axis, bwd_r)
-                if svb.halo_hi > 0 else None
-            )
-            parts = [p for p in (r_lo, xc, r_hi) if p is not None]
-            ext = (
-                jnp.concatenate(parts, axis=0)
-                if len(parts) > 1 else parts[0]
-            )
             ext = pad_to(ext, ext_rows, slb.lanes_pad)
             h_offs, h_ta, h_tb = hc
             vop_l = mk_vop(
@@ -1091,17 +1061,6 @@ def _pallas_strip_fn_2d(
             lop_l = mk_lop(h_offs, h_ta, h_tb, slb.lanes_pad)
             out = fused(vop_l, lop_l, ext)
             return out[:m_h, :out_lanes]
-
-        # --- overlapped 3-call structure (u8 tiles) ------------------
-        xc = build_xc()
-        r_lo = (
-            jax.lax.ppermute(xc[-svb.halo_lo :], rows_axis, fwd_r)
-            if svb.halo_lo > 0 else None
-        )
-        r_hi = (
-            jax.lax.ppermute(xc[: svb.halo_hi], rows_axis, bwd_r)
-            if svb.halo_hi > 0 else None
-        )
 
         def vq_sub(q, lo, hi):
             return None if q is None else q[lo:hi]
@@ -1149,11 +1108,6 @@ def _pallas_strip_fn_2d(
         # C: border-V x all-H on the fully extended tile (one call:
         # lo and hi border blocks stacked; output rows are compact in
         # that order).
-        parts = [p for p in (r_lo, xc, r_hi) if p is not None]
-        ext = (
-            jnp.concatenate(parts, axis=0)
-            if len(parts) > 1 else parts[0]
-        )
         ext = pad_to(ext, ext_rows, slb.lanes_pad)
         vb_idx = list(range(b0v)) + list(range(b1v, n_blocks_v))
         if vb_idx:
@@ -1207,7 +1161,237 @@ def _pallas_strip_fn_2d(
             out = mid
         return out[:m_h, :out_lanes]
 
-    return body, consts, specs
+    def body(x, *cs):
+        # x: [strip_r, strip_lanes] raw local tile.  XLA schedules by
+        # data dependency, so the split path's interior call (which
+        # reads only x) still issues before either collective's
+        # results are consumed.
+        cs = [a[0] for a in cs]
+
+        # --- column halos on the raw tile (cols_axis) ----------------
+        c_lo = (
+            jax.lax.ppermute(
+                x[:, -slb.halo_lo :], cols_axis, fwd_c
+            )
+            if slb.halo_lo > 0 else None
+        )
+        c_hi = (
+            jax.lax.ppermute(x[:, : slb.halo_hi], cols_axis, bwd_c)
+            if slb.halo_hi > 0 else None
+        )
+        parts = [p for p in (c_lo, x, c_hi) if p is not None]
+        xc = (
+            jnp.concatenate(parts, axis=1)
+            if len(parts) > 1 else parts[0]
+        )
+
+        # --- row halos on the column-extended tile (rows_axis) -------
+        r_lo = (
+            jax.lax.ppermute(xc[-svb.halo_lo :], rows_axis, fwd_r)
+            if svb.halo_lo > 0 else None
+        )
+        r_hi = (
+            jax.lax.ppermute(xc[: svb.halo_hi], rows_axis, bwd_r)
+            if svb.halo_hi > 0 else None
+        )
+        parts = [p for p in (r_lo, xc, r_hi) if p is not None]
+        ext = (
+            jnp.concatenate(parts, axis=0)
+            if len(parts) > 1 else parts[0]
+        )
+        return compute(x, xc, ext, cs)
+
+    return body, compute, consts, specs
+
+
+@dataclasses.dataclass(frozen=True)
+class Pallas2DSetup:
+    """Resolved fused-Pallas route for the 2-D maker.  ``body`` is the
+    shard_map per-device function (ppermute halos); ``compute`` the
+    collective-free kernel chain (x, xc, ext, per-device consts) used
+    by the mesh-emulation probe (tools/probe_strip2d_tpu.py) to run
+    every device's exact kernels of an (r x s) mesh on one real chip."""
+
+    body: Callable
+    compute: Callable
+    consts: tuple
+    specs: tuple
+    svb: ShardedVOp
+    slb: ShardedLaneOp
+    m_h: int
+    out_lanes: int
+    use_int8: bool
+
+
+def _pallas_2d_setup(
+    plan: ResizePlan,
+    r: int,
+    s: int,
+    padded_h: int,
+    padded_w: int,
+    precision: str,
+    mode_first: str,
+    mode_second: str,
+    errdiff: bool,
+    trunc_bits: int,
+    out_dt,
+    m_h: int,
+    m_w: int,
+    rows_axis: str,
+    cols_axis: str,
+    fwd_r, bwd_r, fwd_c, bwd_c,
+    engine: str,
+    interpret: bool,
+    pallas_tile: int | None,
+) -> Optional[Pallas2DSetup]:
+    """Build the fused-Pallas per-device route for ``r x s`` 2-D
+    sharding, or None when the engine/viability rules route to the
+    portable XLA body (same selection logic as the 1-D maker)."""
+    if not (_use_pallas_strips(engine, interpret)
+            and precision != "exact"):
+        return None
+    c = plan.el_count
+    in_b = 4 if plan.is_in_float else (
+        1 if plan.in_type_max == 255.0 else 2
+    )
+    svb = shard_v_blocked(
+        plan.v.op, r, padded_h, tile=pallas_tile, in_bytes=in_b
+    )
+    slb = shard_lane_blocked(
+        plan.h.op, s, padded_w, c, in_bytes=in_b
+    )
+    if svb.use_all_gather or slb.use_all_gather:
+        logger.debug(
+            "2-D pallas strips unavailable (halo exceeds a strip "
+            "on some axis); falling back to the XLA route"
+        )
+        return None
+    if not interpret:
+        import types
+
+        from ..ops.pallas.fused_kernel import fused_viable_shapes
+
+        probe_h = types.SimpleNamespace(
+            taps_hi=_ShapeOnly(
+                (slb.n_blocks, slb.win_l, slb.tile * c)
+            ),
+            ctaps_hi=(
+                None if slb.ctaps_hi is None
+                else _ShapeOnly(
+                    (slb.n_blocks, slb.ctaps_hi.shape[2],
+                     slb.win_c, 128)
+                )
+            ),
+            win_c=slb.win_c,
+        )
+        downsize = (
+            plan.v.op.n_out * plan.h.op.n_out
+            <= plan.v.op.n_in * plan.h.op.n_in
+        )
+        htb = 1 if (in_b >= 2 and not downsize) else 2
+        if not fused_viable_shapes(
+            svb.tile, svb.win, probe_h, "vh", in_bytes=in_b,
+            h_tap_buffers=htb,
+        ):
+            logger.debug(
+                "2-D pallas strips not VMEM-viable for this config; "
+                "falling back to the XLA route"
+            )
+            return None
+    if in_b >= 2:
+        # Single blocking kernel for 2/4-byte tiles (the V split's
+        # border outputs blow Mosaic's scoped VMEM — see the 1-D
+        # maker).
+        svb = dataclasses.replace(svb, b_int0=0, b_int1=0)
+        slb = dataclasses.replace(slb, b_int0=0, b_int1=0)
+    ext_rows = _round_up(
+        max(
+            int(svb.offs.max()) + svb.win,
+            svb.halo_lo + svb.strip + svb.halo_hi,
+        ),
+        32,
+    )
+    use_int8 = (
+        precision == "auto"
+        and not plan.is_in_float
+        and plan.in_type_max == 255.0
+        and not plan.is_out_float
+        and plan.out_type_max == 255.0
+        and not errdiff
+        and slb.taps_q1 is not None
+        # Sub-8-bit outputs quantize in 2^trunc_bits-LSB steps; keep
+        # the bf16 splits' headroom (same exclusion as the single-chip
+        # int8_ok, models/runtime.py).
+        and trunc_bits == 0
+    )
+    v_q_np = ()
+    v_qshift = 0
+    v_l1 = 0.0
+    v_qa1 = v_qa0 = 0
+    if use_int8:
+        import types
+
+        from ..ops.intq import (
+            first_pass_overflow_safe,
+            quantize_limbs,
+        )
+        from ..ops.pallas.fused_kernel import int8_feasible
+
+        q1, q0, v_qshift = quantize_limbs(svb.taps)
+        v_l1 = float(np.abs(svb.taps).sum(axis=3).max())
+        v_qa1 = int(np.abs(q1.astype(np.int64)).sum(axis=3).max())
+        v_qa0 = int(np.abs(q0.astype(np.int64)).sum(axis=3).max())
+        probe_v = types.SimpleNamespace(
+            taps_q1=q1, q_shift=v_qshift, l1_max=v_l1,
+            q_abs1=v_qa1, q_abs0=v_qa0,
+        )
+        probe_hq = types.SimpleNamespace(
+            taps_q1=slb.taps_q1, q_shift=slb.q_shift,
+            l1_max=slb.l1_max, q_abs1=slb.q_abs1,
+            q_abs0=slb.q_abs0,
+        )
+        use_int8 = first_pass_overflow_safe(
+            q1, q0, contract_axis=3
+        ) and int8_feasible(
+            probe_v, probe_hq, "vh", plan.use_srgb_gamma
+        )
+        if use_int8:
+            v_q_np = (q1, q0)
+
+    pbody, pcompute, pconsts, pspecs = _pallas_strip_fn_2d(
+        svb, slb, ext_rows, use_int8,
+        ("int8", "int8") if use_int8 else (
+            mode_first, mode_second
+        ),
+        dict(
+            out_dtype=(
+                out_dt
+                if not plan.is_out_float and not errdiff
+                else jnp.float32
+            ),
+            out_max=plan.out_type_max,
+            trunc_bits=0 if errdiff else trunc_bits,
+            gamma=plan.use_srgb_gamma,
+            alpha_index=plan.alpha_index,
+            in_gamma_mult=plan.in_gamma_mult,
+            out_gamma_mult=plan.out_gamma_mult,
+        ),
+        (v_qshift, v_l1, v_qa1, v_qa0),
+        v_q_np,
+        m_h, m_w * c, rows_axis, cols_axis,
+        fwd_r, bwd_r, fwd_c, bwd_c, interpret, in_bytes=in_b,
+    )
+    return Pallas2DSetup(
+        body=pbody,
+        compute=pcompute,
+        consts=tuple(pconsts),
+        specs=tuple(pspecs),
+        svb=svb,
+        slb=slb,
+        m_h=m_h,
+        out_lanes=m_w * c,
+        use_int8=use_int8,
+    )
 
 
 def _slice_padded_out(
@@ -1916,140 +2100,13 @@ def make_sharded_avir_executor_2d(
     bwd_c = [(i + 1, i) for i in range(s - 1)]
 
     # --- fused-Pallas per-device body (the TPU production route) ------
-    pallas_strips = (
-        _use_pallas_strips(engine, interpret)
-        and precision != "exact"
+    p2d = _pallas_2d_setup(
+        plan, r, s, padded_h, padded_w, precision,
+        mode_first, mode_second, errdiff, trunc_bits, out_dt,
+        m_h, m_w, rows_axis, cols_axis,
+        fwd_r, bwd_r, fwd_c, bwd_c, engine, interpret, pallas_tile,
     )
-    svb = slb = None
-    if pallas_strips:
-        svb = shard_v_blocked(
-            plan.v.op, r, padded_h, tile=pallas_tile, in_bytes=in_b
-        )
-        slb = shard_lane_blocked(
-            plan.h.op, s, padded_w, c, in_bytes=in_b
-        )
-        if svb.use_all_gather or slb.use_all_gather:
-            logger.debug(
-                "2-D pallas strips unavailable (halo exceeds a strip "
-                "on some axis); falling back to the XLA route"
-            )
-            pallas_strips = False
-    if pallas_strips and not interpret:
-        import types
-
-        from ..ops.pallas.fused_kernel import fused_viable_shapes
-
-        probe_h = types.SimpleNamespace(
-            taps_hi=_ShapeOnly(
-                (slb.n_blocks, slb.win_l, slb.tile * c)
-            ),
-            ctaps_hi=(
-                None if slb.ctaps_hi is None
-                else _ShapeOnly(
-                    (slb.n_blocks, slb.ctaps_hi.shape[2],
-                     slb.win_c, 128)
-                )
-            ),
-            win_c=slb.win_c,
-        )
-        downsize = (
-            plan.v.op.n_out * plan.h.op.n_out
-            <= plan.v.op.n_in * plan.h.op.n_in
-        )
-        htb = 1 if (in_b >= 2 and not downsize) else 2
-        if not fused_viable_shapes(
-            svb.tile, svb.win, probe_h, "vh", in_bytes=in_b,
-            h_tap_buffers=htb,
-        ):
-            logger.debug(
-                "2-D pallas strips not VMEM-viable for this config; "
-                "falling back to the XLA route"
-            )
-            pallas_strips = False
-    if pallas_strips:
-        if in_b >= 2:
-            # Single blocking kernel for 2/4-byte tiles (the V split's
-            # border outputs blow Mosaic's scoped VMEM — see the 1-D
-            # maker).
-            svb = dataclasses.replace(svb, b_int0=0, b_int1=0)
-            slb = dataclasses.replace(slb, b_int0=0, b_int1=0)
-        ext_rows = _round_up(
-            max(
-                int(svb.offs.max()) + svb.win,
-                svb.halo_lo + svb.strip + svb.halo_hi,
-            ),
-            32,
-        )
-        use_int8 = (
-            precision == "auto"
-            and not plan.is_in_float
-            and plan.in_type_max == 255.0
-            and not plan.is_out_float
-            and plan.out_type_max == 255.0
-            and not errdiff
-            and slb.taps_q1 is not None
-            # Sub-8-bit outputs quantize in 2^trunc_bits-LSB steps;
-            # keep the bf16 splits' headroom (same exclusion as the
-            # single-chip int8_ok, models/runtime.py).
-            and trunc_bits == 0
-        )
-        v_q_np = ()
-        v_qshift = 0
-        v_l1 = 0.0
-        v_qa1 = v_qa0 = 0
-        if use_int8:
-            import types
-
-            from ..ops.intq import (
-                first_pass_overflow_safe,
-                quantize_limbs,
-            )
-            from ..ops.pallas.fused_kernel import int8_feasible
-
-            q1, q0, v_qshift = quantize_limbs(svb.taps)
-            v_l1 = float(np.abs(svb.taps).sum(axis=3).max())
-            v_qa1 = int(np.abs(q1.astype(np.int64)).sum(axis=3).max())
-            v_qa0 = int(np.abs(q0.astype(np.int64)).sum(axis=3).max())
-            probe_v = types.SimpleNamespace(
-                taps_q1=q1, q_shift=v_qshift, l1_max=v_l1,
-                q_abs1=v_qa1, q_abs0=v_qa0,
-            )
-            probe_hq = types.SimpleNamespace(
-                taps_q1=slb.taps_q1, q_shift=slb.q_shift,
-                l1_max=slb.l1_max, q_abs1=slb.q_abs1,
-                q_abs0=slb.q_abs0,
-            )
-            use_int8 = first_pass_overflow_safe(
-                q1, q0, contract_axis=3
-            ) and int8_feasible(
-                probe_v, probe_hq, "vh", plan.use_srgb_gamma
-            )
-            if use_int8:
-                v_q_np = (q1, q0)
-
-        pbody, pconsts, pspecs = _pallas_strip_fn_2d(
-            svb, slb, ext_rows, use_int8,
-            ("int8", "int8") if use_int8 else (
-                mode_first, mode_second
-            ),
-            dict(
-                out_dtype=(
-                    out_dt
-                    if not plan.is_out_float and not errdiff
-                    else jnp.float32
-                ),
-                out_max=plan.out_type_max,
-                trunc_bits=0 if errdiff else trunc_bits,
-                gamma=plan.use_srgb_gamma,
-                alpha_index=plan.alpha_index,
-                in_gamma_mult=plan.in_gamma_mult,
-                out_gamma_mult=plan.out_gamma_mult,
-            ),
-            (v_qshift, v_l1, v_qa1, v_qa0),
-            v_q_np,
-            m_h, m_w * c, rows_axis, cols_axis,
-            fwd_r, bwd_r, fwd_c, bwd_c, interpret, in_bytes=in_b,
-        )
+    pallas_strips = p2d is not None
 
     v_offs_c = jnp.asarray(svv.offs)
     v_taps_c = jnp.asarray(svv.taps)
@@ -2134,9 +2191,9 @@ def make_sharded_avir_executor_2d(
         return z.astype(out_dt)
 
     if pallas_strips:
-        body = pbody
-        consts = tuple(jnp.asarray(a) for a in pconsts)
-        cspecs = tuple(pspecs)
+        body = p2d.body
+        consts = tuple(jnp.asarray(a) for a in p2d.consts)
+        cspecs = tuple(p2d.specs)
     else:
         consts = (v_offs_c, v_taps_c, h_offs_c, h_taps_c)
         cspecs = (

@@ -618,3 +618,77 @@ def test_sharded_2d_pallas_overlapped_three_call():
     out = np.asarray(fn(src.reshape(1536, -1))).reshape(768, 768, 3)
     single = avir_tpu.resize(src, 768, 768)
     assert np.abs(out.astype(int) - single.astype(int)).max() <= 1
+
+
+def test_sharded_2d_geom_emulation_matches_mesh():
+    """The mesh-emulation used by tools/probe_strip2d_tpu.py (slice
+    the zero-extended padded image instead of ppermuting halos, run
+    each device's ``compute`` without collectives) is bit-identical to
+    the real shard_map executor — guards the real-TPU probe's assembly
+    logic against drift."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as SP
+
+    from avir_tpu.models.runtime import resolve_modes
+    from avir_tpu.parallel.sharded import (
+        _pallas_2d_setup,
+        make_sharded_avir_executor_2d,
+        shard_v_op,
+    )
+
+    r, s = 2, 4
+    plan = build_resize_plan(256, 192, 128, 96, 3, np.uint8, np.uint8)
+    h, w, c = plan.src_h, plan.src_w, plan.el_count
+    padded_h = h + ((-h) % r)
+    padded_w = w + ((-w) % s)
+    svv = shard_v_op(plan.v.op, r, padded_h, tile=64)
+    svh = shard_v_op(plan.h.op, s, padded_w, tile=64)
+    mf, ms = resolve_modes("auto", True)
+    p2d = _pallas_2d_setup(
+        plan, r, s, padded_h, padded_w, "auto", mf, ms,
+        False, 0, jnp.uint8, svv.m, svh.m, "sp", "cp",
+        [], [], [], [], "pallas", True, None,
+    )
+    assert p2d is not None
+    svb, slb = p2d.svb, p2d.slb
+    strip_r, sl = svb.strip, slb.strip_lanes
+    hlr, hhr = svb.halo_lo, svb.halo_hi
+    hll, hhl = slb.halo_lo, slb.halo_hi
+
+    src = xorshift128_fill((h, w * c), np.uint8, 915)
+    pimg = np.zeros((padded_h, padded_w * c), np.uint8)
+    pimg[:h, : w * c] = src
+    z = np.pad(pimg, ((hlr, hhr), (hll, hhl)))
+
+    rows_spec = SP("sp")
+    out_rows = []
+    for i in range(r):
+        row = []
+        for j in range(s):
+            cs = [
+                jnp.asarray(
+                    np.asarray(cst)[i if spec == rows_spec else j]
+                )
+                for cst, spec in zip(p2d.consts, p2d.specs)
+            ]
+            x = jnp.asarray(
+                pimg[i * strip_r : (i + 1) * strip_r,
+                     j * sl : (j + 1) * sl]
+            )
+            ext = jnp.asarray(
+                z[i * strip_r : i * strip_r + hlr + strip_r + hhr,
+                  j * sl : j * sl + hll + sl + hhl]
+            )
+            xc = ext[hlr : hlr + strip_r, :]
+            row.append(np.asarray(p2d.compute(x, xc, ext, cs)))
+        out_rows.append(np.concatenate(row, axis=1))
+    emulated = np.concatenate(out_rows, axis=0)[
+        : plan.new_h, : plan.new_w * c
+    ]
+
+    mesh = jax.make_mesh((r, s), ("sp", "cp"))
+    fn = make_sharded_avir_executor_2d(
+        plan, mesh, engine="pallas", interpret=True
+    )
+    mesh_out = np.asarray(fn(jnp.asarray(pimg)))
+    np.testing.assert_array_equal(emulated, mesh_out)

@@ -1,0 +1,282 @@
+"""Run the fused-Pallas 2-D (rows x cols) route on the real TPU chip.
+
+Round-4 verdict item 1: the 2-D executor shipped the fused per-device
+body validated only in interpret mode on CPU meshes; its published
+scaling tables assumed the fused kernel's per-chip time without real
+Mosaic ever compiling the 2-D tile kernels.  Two modes close that:
+
+mesh1 — build ``make_sharded_avir_executor_2d`` over a 1x1 device mesh
+        on the real chip (same kernel bodies, degenerate collectives),
+        parity <= 1 LSB vs the single-chip executor ON DEVICE, and
+        per-chip time vs single-chip (target: within ~5%).
+
+geom  — mesh-EMULATION at real multi-chip geometry: build the
+        production (r x s) per-device kernels via ``_pallas_2d_setup``,
+        assemble every device's raw / column-extended / fully-extended
+        tiles by slicing the zero-extended padded image ON DEVICE
+        (bit-identical to the ppermute halos, including the zero-filled
+        mesh edges), run each device's exact kernel-call structure
+        (the overlapped A/B/C split for u8, the blocking single call
+        for u16) on the one real chip, reassemble, parity-check against
+        the single-chip executor, and measure per-device time — the
+        per-chip term the 2-D tables in docs/scaling.md are built on.
+        Sources are generated on device (random bits): nothing heavier
+        than a scalar crosses the tunnel.
+
+Usage:
+  /opt/venv/bin/python tools/probe_strip2d_tpu.py mesh1 [names...]
+  /opt/venv/bin/python tools/probe_strip2d_tpu.py geom  [names...]
+
+Prints one JSON line per (config, grid).
+"""
+
+import json
+import logging
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+
+import numpy as np
+
+logging.basicConfig(stream=sys.stderr, level=logging.INFO)
+
+# name: (sw, sh, nw, nh, ch, tin, tout, gamma, alpha)
+CONFIGS = {
+    "headline": (7680, 4320, 1920, 1080, 3, "u8", "u8", 0, -1),
+    "gamma": (7680, 4320, 1920, 1080, 4, "u8", "u8", 1, 3),
+    "u16": (3840, 2160, 7680, 4320, 4, "u16", "u16", 1, 3),
+    "upsize": (640, 480, 1024, 768, 3, "u8", "u8", 0, -1),
+    "hd16k": (16384, 16384, 4096, 4096, 3, "u8", "u8", 0, -1),
+}
+DT = {"u8": np.uint8, "u16": np.uint16}
+# geom grids per config (rows x cols meshes worth publishing).
+GEOM_GRIDS = {
+    "headline": [(2, 2), (2, 4), (4, 4)],
+    "gamma": [(2, 4)],
+    "u16": [(2, 2)],
+    "hd16k": [(4, 4), (8, 4)],
+}
+
+
+def _plan_for(name):
+    from avir_tpu.plan.plan import build_resize_plan
+
+    sw, sh, nw, nh, ch, tin, tout, gamma, alpha = CONFIGS[name]
+    return build_resize_plan(
+        sw, sh, nw, nh, ch, DT[tin], DT[tout],
+        use_srgb_gamma=bool(gamma), alpha_index=alpha,
+    ), (sw, sh, nw, nh, ch, DT[tin])
+
+
+def _device_src(plan, dt):
+    import jax
+    import jax.numpy as jnp
+
+    h, wc = plan.src_h, plan.src_w * plan.el_count
+    jdt = jnp.uint8 if dt == np.uint8 else jnp.uint16
+    return jax.random.bits(jax.random.PRNGKey(7), (h, wc), dtype=jdt)
+
+
+def run_mesh1(names):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from avir_tpu.models.runtime import make_avir_executor
+    from avir_tpu.parallel.sharded import make_sharded_avir_executor_2d
+    from avir_tpu.utils.benchmarking import device_ms
+
+    assert jax.default_backend() not in ("cpu", "gpu"), "need the TPU"
+    mesh = Mesh(
+        np.array(jax.devices()[:1]).reshape(1, 1), ("sp", "cp")
+    )
+
+    @jax.jit
+    def maxdiff(a, b):
+        return jnp.max(
+            jnp.abs(a.astype(jnp.int32) - b.astype(jnp.int32))
+        )
+
+    for name in names:
+        info = {"mode": "mesh1", "config": name}
+        try:
+            plan, (sw, sh, nw, nh, ch, dt) = _plan_for(name)
+            single = make_avir_executor(plan)
+            sharded = make_sharded_avir_executor_2d(
+                plan, mesh, engine="pallas"
+            )
+            src = _device_src(plan, dt)
+            a = single(src)
+            b = sharded(src)
+            info["maxdiff"] = int(np.asarray(maxdiff(a, b)))
+            ms_single, _ = device_ms(single, src, n=10)
+            ms_2d, _ = device_ms(sharded, src, n=10)
+            info["single_ms"] = round(ms_single, 3)
+            info["mesh1_ms"] = round(ms_2d, 3)
+            info["ratio"] = round(ms_2d / ms_single, 3)
+            info["ok"] = info["maxdiff"] <= 1
+        except Exception as e:  # noqa: BLE001 — report and continue
+            info["ok"] = False
+            info["error"] = f"{type(e).__name__}: {e}"[:500]
+        print(json.dumps(info), flush=True)
+
+
+def _setup_2d(plan, r, s):
+    import jax.numpy as jnp
+
+    from avir_tpu.models.runtime import resolve_modes
+    from avir_tpu.parallel.sharded import _pallas_2d_setup, shard_v_op
+
+    h, w = plan.src_h, plan.src_w
+    padded_h = h + ((-h) % r)
+    padded_w = w + ((-w) % s)
+    svv = shard_v_op(plan.v.op, r, padded_h, tile=64)
+    svh = shard_v_op(plan.h.op, s, padded_w, tile=64)
+    in_exact_bf16 = (
+        not plan.is_in_float
+        and plan.in_type_max == 255.0
+        and not plan.use_srgb_gamma
+    )
+    mf, ms = resolve_modes("auto", in_exact_bf16)
+    out_bits = 8 if plan.out_type_max == 255.0 else 16
+    trunc = 0 if plan.is_out_float else out_bits - plan.res_bit_depth
+    out_dt = (
+        jnp.float32 if plan.is_out_float
+        else (jnp.uint8 if plan.out_type_max == 255.0 else jnp.uint16)
+    )
+    p2d = _pallas_2d_setup(
+        plan, r, s, padded_h, padded_w, "auto", mf, ms,
+        False, trunc, out_dt, svv.m, svh.m, "sp", "cp",
+        [], [], [], [], "pallas", False, None,
+    )
+    return p2d, padded_h, padded_w
+
+
+def run_geom(names):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from avir_tpu.models.runtime import make_avir_executor
+    from avir_tpu.utils.benchmarking import device_ms
+
+    assert jax.default_backend() not in ("cpu", "gpu"), "need the TPU"
+
+    @jax.jit
+    def maxdiff(a, b):
+        return jnp.max(
+            jnp.abs(a.astype(jnp.int32) - b.astype(jnp.int32))
+        )
+
+    for name in names:
+        plan, (sw, sh, nw, nh, ch, dt) = _plan_for(name)
+        single = make_avir_executor(plan)
+        src = _device_src(plan, dt)
+        a = single(src)
+        for (r, s) in GEOM_GRIDS.get(name, []):
+            info = {
+                "mode": "geom", "config": name, "grid": f"{r}x{s}",
+            }
+            try:
+                p2d, padded_h, padded_w = _setup_2d(plan, r, s)
+                if p2d is None:
+                    info["ok"] = False
+                    info["error"] = "fused route not viable"
+                    print(json.dumps(info), flush=True)
+                    continue
+                svb, slb = p2d.svb, p2d.slb
+                strip_r, sl = svb.strip, slb.strip_lanes
+                hlr, hhr = svb.halo_lo, svb.halo_hi
+                hll, hhl = slb.halo_lo, slb.halo_hi
+                info["int8"] = p2d.use_int8
+
+                pad = jax.jit(
+                    lambda x: jnp.pad(
+                        x,
+                        (
+                            (0, padded_h - x.shape[0]),
+                            (0, padded_w * ch - x.shape[1]),
+                        ),
+                    )
+                )
+                full_p = pad(src)
+                zext = jax.jit(
+                    lambda x: jnp.pad(x, ((hlr, hhr), (hll, hhl)))
+                )
+                Z = zext(full_p)
+
+                # The ppermute halos are exactly the neighbours' edge
+                # regions — i.e. a contiguous slice of the globally
+                # zero-extended image (zeros where a mesh edge has no
+                # neighbour, matching ppermute's zero fill).
+                @jax.jit
+                def tiles(Pimg, Zimg, i, j):
+                    x = jax.lax.dynamic_slice(
+                        Pimg, (i * strip_r, j * sl), (strip_r, sl)
+                    )
+                    ext = jax.lax.dynamic_slice(
+                        Zimg,
+                        (i * strip_r, j * sl),
+                        (hlr + strip_r + hhr, hll + sl + hhl),
+                    )
+                    xc = ext[hlr : hlr + strip_r, :]
+                    return x, xc, ext
+
+                cfun = jax.jit(
+                    lambda x, xc, ext, *cs: p2d.compute(
+                        x, xc, ext, list(cs)
+                    )
+                )
+                rows_spec = P("sp")
+                # Tap tensors once to the device; per-device slices
+                # stay on device (the tunnel is slow).
+                dconsts = [jnp.asarray(np.asarray(c_))
+                           for c_ in p2d.consts]
+                dev_ms = []
+                out_rows = []
+                for i in range(r):
+                    row_outs = []
+                    for j in range(s):
+                        cs = tuple(
+                            cst[i if spec == rows_spec else j]
+                            for cst, spec in zip(
+                                dconsts, p2d.specs
+                            )
+                        )
+                        x, xc, ext = tiles(full_p, Z, i, j)
+                        row_outs.append(cfun(x, xc, ext, *cs))
+                        ms, _ = device_ms(cfun, x, xc, ext, *cs, n=10)
+                        dev_ms.append(round(ms, 3))
+                    out_rows.append(
+                        jnp.concatenate(row_outs, axis=1)
+                    )
+                full = jnp.concatenate(out_rows, axis=0)[
+                    :nh, : nw * ch
+                ]
+                info["maxdiff"] = int(np.asarray(maxdiff(a, full)))
+                info["dev_ms"] = dev_ms
+                info["max_dev_ms"] = max(dev_ms)
+                ms_single, _ = device_ms(single, src, n=10)
+                info["single_ms"] = round(ms_single, 3)
+                info["per_chip_ratio"] = round(
+                    max(dev_ms) / ms_single, 3
+                )
+                info["ok"] = info["maxdiff"] <= 1
+            except Exception as e:  # noqa: BLE001
+                info["ok"] = False
+                info["error"] = f"{type(e).__name__}: {e}"[:500]
+            print(json.dumps(info), flush=True)
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "mesh1"
+    names = sys.argv[2:] or (
+        ["headline", "gamma", "u16", "upsize"]
+        if mode == "mesh1"
+        else ["headline", "gamma", "u16", "hd16k"]
+    )
+    if mode == "mesh1":
+        run_mesh1(names)
+    else:
+        run_geom(names)
