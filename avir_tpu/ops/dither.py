@@ -290,9 +290,10 @@ def errdiff_dither_wavefront_jnp(
     lax.scan elsewhere), "pallas" (force the kernel), or "xla" (force
     the lax.scan formulation).  ``interpret=True`` implies the Pallas
     engine (interpreter mode — the CPU-mesh test configuration) and
-    conflicts with engine="xla".  The row-blocked tall-narrow route
-    runs lax.scan regardless; engine="pallas" raises there rather
-    than silently downgrading."""
+    conflicts with engine="xla".  The row-blocked route runs the
+    carry-kernel variant (``wavefront_scan_pallas_carry``) under the
+    same engine rules: the previous block's last-row noise streams
+    into the next block's kernel as SMEM head scalars."""
     if engine not in ("auto", "pallas", "xla"):
         raise ValueError(f"unknown wavefront engine {engine!r}")
     if interpret and engine == "xla":
@@ -342,26 +343,46 @@ def errdiff_dither_wavefront_jnp(
         )
         return out.reshape(h, w, c)
 
-    if engine == "pallas":
-        raise ValueError(
-            "engine='pallas' cannot be honored on the row-blocked "
-            "tall-narrow route (block_rows < image height runs the "
-            "lax.scan formulation); use engine='auto' or pass "
-            "block_rows >= the image height"
-        )
     nb = -(-h // block_rows)
     pad = nb * block_rows - h
     if pad:
         flat = jnp.pad(flat, ((0, pad), (0, 0)))
     blocks = flat.reshape(nb, block_rows, w * c)
 
-    def blk_step(n_last, block):
-        out_b, n_next = _wavefront_rows(
-            block, n_last, tm, tmi, out_max, unroll, w, c
-        )
-        return n_next, out_b
+    use_pallas = engine == "pallas" or interpret or (
+        engine == "auto"
+        and jax.default_backend() not in ("cpu", "gpu")
+    )
+    if use_pallas:
+        # Row-blocked Pallas route (VERDICT r4 item 3): each block
+        # runs the carry kernel (ops/pallas/wavefront_kernel.py) with
+        # the previous block's last-row noise streamed in as SMEM
+        # head scalars.  Smaller blocks shrink BOTH the per-step
+        # planar vector G = C*R/8 (the wide-vector VMEM streaming
+        # that bounds the full-image kernel) and the skew-transpose
+        # blowup ((W + 2R)/W instead of (W + 2H)/W).
+        from .pallas.wavefront_kernel import wavefront_scan_pallas_carry
+
+        tmi_f32 = float(np.float32(1.0) / np.float32(tm_py))
+        rb = block_rows
+
+        def blk_step(n_last, block):
+            s_b = _skew_rows(block.astype(jnp.float32), w, c)
+            o_b, nf = wavefront_scan_pallas_carry(
+                s_b, w, c, tm_py, tmi_f32, out_max_py, n_last,
+                interpret=interpret, chunk=pallas_chunk,
+            )
+            return nf, _unskew_rows(o_b, rb, w, c)
+
+    else:
+
+        def blk_step(n_last, block):
+            out_b, n_next = _wavefront_rows(
+                block, n_last, tm, tmi, out_max, unroll, w, c
+            )
+            return n_next, out_b
 
     _, O = jax.lax.scan(
-        blk_step, jnp.zeros((w * c,), flat.dtype), blocks
+        blk_step, jnp.zeros((w * c,), jnp.float32), blocks
     )
     return O.reshape(nb * block_rows, w, c)[:h]

@@ -126,6 +126,176 @@ def _kernel(
     d3_ref[...] = b3
 
 
+def _kernel_carry(
+    s_ref, hd_ref, init_ref, o_ref, n_ref,
+    n1_ref, d1_ref, d2_ref, d3_ref, *,
+    K: int, w: int, c: int, r: int, G: int,
+    tm: float, tmi: float, out_max: float,
+):
+    """Carry-block variant of ``_kernel`` (the row-blocked wavefront,
+    VERDICT r4 item 3): row 0 of each channel plane reads the PREVIOUS
+    block's last-row noise instead of zero.  The per-step head scalars
+    (nlp[(t+3)*c + ch], precomputed host-side from the carried noise —
+    same indexing as ops/dither._wavefront_rows) stream in via an SMEM
+    block ``hd_ref`` [K, c]; the three t=0 carry heads via
+    ``init_ref`` [3, c].  The full noise stream is emitted as a second
+    output so the caller can slice this block's last-row noise (lane
+    ch*r + r-1 at steps 2(r-1)+x) for the next block."""
+    tau = pl.program_id(0)
+
+    jj = (
+        jax.lax.broadcasted_iota(jnp.int32, (_SUB, G), 0) * G
+        + jax.lax.broadcasted_iota(jnp.int32, (_SUB, G), 1)
+    )
+    yy2 = 2 * (jj % r)
+    dead = jj >= c * r
+    head0 = ((jj % r) == 0) | dead
+    lane0 = (
+        jax.lax.broadcasted_iota(jnp.int32, (_SUB, G), 1) == 0
+    )
+    zero = jnp.zeros((_SUB, G), jnp.float32)
+    # Row-0 lane positions of each channel plane (where the carried
+    # noise is inserted): jj == ch*r.
+    planes = [jj == ch * r for ch in range(c)]
+
+    def insert(a, scalars):
+        for ch in range(c):
+            a = jnp.where(planes[ch], scalars[ch], a)
+        return a
+
+    @pl.when(tau == 0)
+    def _init():
+        n1_ref[...] = zero
+        # d_k(t=0) = down(zero) with head nlp[(3-k)*c + ch]
+        # (ops/dither._wavefront_rows init).
+        for k, ref in ((1, d1_ref), (2, d2_ref), (3, d3_ref)):
+            ref[...] = insert(
+                zero, [init_ref[3 - k, ch] for ch in range(c)]
+            )
+
+    def down(a, heads):
+        b = pltpu.roll(a, 1, 1)
+        colv = pltpu.roll(b, 1, 0)
+        sh = jnp.where(lane0, colv, b)
+        return insert(jnp.where(head0, zero, sh), heads)
+
+    a1 = n1_ref[...]
+    b1 = d1_ref[...]
+    b2 = d2_ref[...]
+    b3 = d3_ref[...]
+    for k in range(K):
+        t = tau * K + k
+        s_t = s_ref[k]
+        cur = (
+            s_t
+            + W_CUR_RIGHT * a1
+            + W_NEXT_LEFT * b1
+            + W_NEXT_CENTER * b2
+            + W_NEXT_RIGHT * b3
+        )
+        z0 = round_biased(cur * tmi) * tm
+        x_of = t - yy2
+        m = (x_of >= 0) & (x_of < w) & ~dead
+        noise = jnp.where(m, cur - z0, 0.0)
+        o_ref[k] = jnp.clip(z0, 0.0, out_max)
+        n_ref[k] = noise
+        heads = [hd_ref[k, ch] for ch in range(c)]
+        a1, b1, b2, b3 = noise, down(noise, heads), b1, b2
+    n1_ref[...] = a1
+    d1_ref[...] = b1
+    d2_ref[...] = b2
+    d3_ref[...] = b3
+
+
+def wavefront_scan_pallas_carry(
+    S: jax.Array,
+    w: int,
+    c: int,
+    tm: float,
+    tmi: float,
+    out_max: float,
+    n_last: jax.Array,
+    interpret: bool = False,
+    chunk: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Row-blocked wavefront block scan with cross-block noise carry:
+    quantize the skewed stream S [T, C*R] of ONE row block given the
+    previous block's last-row noise ``n_last`` [W*C] (zeros for the
+    top block).  Returns (O [T, C*R], nf [W*C]) — the quantized stream
+    and THIS block's last-row noise.
+
+    Semantics mirror ``ops/dither._wavefront_rows`` with
+    ``n_last is not None``: the per-step d1 head reads
+    nlp[(t+3)*c + ch] and the t=0 carries read nlp[(3-k)*c + ch],
+    where nlp is n_last shifted one pixel right."""
+    T, cr = S.shape
+    r = cr // c
+    G = _round_up(-(-cr // _SUB), 128)
+    K = chunk or max(
+        8, min(128, (8 << 20) // (16 * _SUB * G)) // 8 * 8
+    )
+    T_pad = -(-T // K) * K
+    if T_pad > T or G * _SUB > cr:
+        S = jnp.pad(S, ((0, T_pad - T), (0, G * _SUB - cr)))
+    S3 = S.reshape(T_pad, _SUB, G)
+
+    # nlp[(j+1)*c + ch] = n_last[j*c + ch]; head streams (f32, SMEM).
+    nlp = jnp.zeros(((T_pad + 4) * c,), jnp.float32)
+    nlp = nlp.at[c : (w + 1) * c].set(n_last.astype(jnp.float32))
+    nlp_r = nlp.reshape(-1, c)
+    hd = nlp_r[3 : 3 + T_pad]            # [T_pad, c]
+    init = nlp_r[:3]                     # rows 0..2 = nlp[(3-k)c], k=3..1
+
+    out, ns = pl.pallas_call(
+        functools.partial(
+            _kernel_carry,
+            K=K, w=w, c=c, r=r, G=G,
+            tm=float(tm), tmi=float(tmi), out_max=float(out_max),
+        ),
+        grid=(T_pad // K,),
+        in_specs=[
+            pl.BlockSpec((K, _SUB, G), lambda tau: (tau, 0, 0)),
+            pl.BlockSpec(
+                (K, c), lambda tau: (tau, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (3, c), lambda tau: (0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((K, _SUB, G), lambda tau: (tau, 0, 0)),
+            pl.BlockSpec((K, _SUB, G), lambda tau: (tau, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T_pad, _SUB, G), jnp.float32),
+            jax.ShapeDtypeStruct((T_pad, _SUB, G), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_SUB, G), jnp.float32),
+            pltpu.VMEM((_SUB, G), jnp.float32),
+            pltpu.VMEM((_SUB, G), jnp.float32),
+            pltpu.VMEM((_SUB, G), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(S3, hd, init)
+    O = out.reshape(T_pad, _SUB * G)[:T, :cr]
+    # This block's last-row noise: lane ch*r + (r-1) at steps
+    # 2(r-1) + x, x in [0, w).
+    nsf = ns.reshape(T_pad, _SUB * G)
+    nf = jax.lax.slice(
+        nsf,
+        (2 * (r - 1), r - 1),
+        (2 * (r - 1) + w, cr),
+        (1, r),
+    ).reshape(w * c)
+    return O, nf
+
+
 def wavefront_scan_pallas(
     S: jax.Array,
     w: int,

@@ -190,6 +190,87 @@ def format_table(points: list[ScalePoint]) -> str:
     return "\n".join(lines)
 
 
+@dataclasses.dataclass
+class ScalePointErrdiff:
+    n_dev: int
+    t_resize_us: float      # sharded resize step (from model_scaling)
+    t_gather_us: float      # all_gather of the pre-dither output
+    t_wavefront_us: float   # full-image wavefront, replicated
+    t_step_us: float
+    efficiency: float
+
+
+def model_scaling_errdiff(
+    plan,
+    t_chip_s: float,
+    t_wavefront_s: float,
+    n_devs=(2, 4, 8, 16),
+    *,
+    bw=V5E_ICI_BW,
+    lat=V5E_ICI_LAT,
+    t_dispatch=T_DISPATCH,
+    in_itemsize: int | None = None,
+) -> list[ScalePointErrdiff]:
+    """Model the sharded ``dither="errdiff"`` step (VERDICT r4 item 4).
+
+    The mesh path (parallel/sharded.py, errdiff epilogue) computes the
+    pre-dither float strips sharded, all_gathers the SMALL post-resize
+    image over the mesh, runs the full-image wavefront REPLICATED on
+    every device (the recurrence is serial across the whole image — the
+    reference serializes it onto one thread too, avir.h:5047-5068), and
+    re-shards the rows.  Step time is therefore floor-bounded by the
+    full-image wavefront:
+
+      t_step(n) = t_resize_step(n) + t_allgather(n) + t_wavefront
+
+    with efficiency measured against the single-chip errdiff step
+    (t_chip + t_wavefront).  ``t_wavefront_s`` is the measured
+    full-image wavefront time for the OUTPUT size
+    (tools/probe_errdiff.py / docs/perf_analysis.md).
+    """
+    base = model_scaling(
+        plan, t_chip_s, n_devs, bw=bw, lat=lat,
+        t_dispatch=t_dispatch, in_itemsize=in_itemsize,
+    )
+    new_w = getattr(plan, "new_w", plan.src_w)
+    new_h = getattr(plan, "new_h", None)
+    if new_h is None:
+        new_h = plan.v.op.n_out if hasattr(plan.v, "op") \
+            else plan.v.n_out
+    out_bytes = new_h * new_w * plan.el_count * 4  # f32 pre-dither
+    t_single = t_chip_s + t_wavefront_s
+    out = []
+    for p in base:
+        n = p.n_dev
+        t_ag = lat * max(1, int(np.ceil(np.log2(n)))) \
+            + (n - 1) / n * out_bytes / bw
+        t_step = p.t_step_us * 1e-6 + t_ag + t_wavefront_s
+        out.append(
+            ScalePointErrdiff(
+                n_dev=n,
+                t_resize_us=p.t_step_us,
+                t_gather_us=t_ag * 1e6,
+                t_wavefront_us=t_wavefront_s * 1e6,
+                t_step_us=t_step * 1e6,
+                efficiency=t_single / (n * t_step),
+            )
+        )
+    return out
+
+
+def format_table_errdiff(points: list[ScalePointErrdiff]) -> str:
+    lines = [
+        "  n  resize(us)  gather(us)  wavefront(us)  step(us)   eff",
+    ]
+    for p in points:
+        lines.append(
+            f"{p.n_dev:3d}  {p.t_resize_us:10.1f}  "
+            f"{p.t_gather_us:10.2f}  {p.t_wavefront_us:13.1f}  "
+            f"{p.t_step_us:8.1f}  {p.efficiency:5.2f}"
+        )
+    return "\n".join(lines)
+
+
 def model_scaling_2d(
     plan,
     t_chip_s: float,

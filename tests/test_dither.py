@@ -84,22 +84,49 @@ def test_errdiff_routing_and_parity():
 
 
 def test_wavefront_engine_validation():
-    """Engine strings are validated; engine='pallas' raises on the
-    row-blocked tall-narrow route instead of silently downgrading;
-    interpret=True conflicts with engine='xla' (ADVICE r4)."""
+    """Engine strings are validated; interpret=True conflicts with
+    engine='xla' (ADVICE r4)."""
     import pytest
 
     img = jnp.zeros((64, 4, 1), jnp.float32)
     with pytest.raises(ValueError, match="unknown wavefront engine"):
         errdiff_dither_wavefront_jnp(img, 0, 255.0, engine="vpu")
-    with pytest.raises(ValueError, match="row-blocked"):
-        errdiff_dither_wavefront_jnp(
-            img, 0, 255.0, engine="pallas", block_rows=8
-        )
     with pytest.raises(ValueError, match="implies the Pallas"):
         errdiff_dither_wavefront_jnp(
             img, 0, 255.0, engine="xla", interpret=True
         )
+
+
+def test_wavefront_blocked_pallas_carry_matches_xla():
+    """The row-blocked Pallas carry kernel (VERDICT r4 item 3:
+    cross-block noise carried via SMEM head scalars) agrees with the
+    row-blocked lax.scan formulation within one quantization step, and
+    bit-exactly for unit-step quantization, across block sizes and
+    channel counts — including blocks that do not divide the height."""
+    rng = np.random.default_rng(77)
+    for (h, w, c, tb, om) in [
+        (40, 24, 3, 0, 255.0),
+        (64, 16, 1, 2, 255.0),
+        (37, 20, 4, 3, 65535.0),
+    ]:
+        img = (
+            rng.random((h, w, c)).astype(np.float32) * om
+        )
+        ref = np.asarray(
+            errdiff_dither_wavefront_jnp(
+                jnp.asarray(img), tb, om, engine="xla",
+                block_rows=16,
+            )
+        )
+        got = np.asarray(
+            errdiff_dither_wavefront_jnp(
+                jnp.asarray(img), tb, om, interpret=True,
+                block_rows=16, pallas_chunk=16,
+            )
+        )
+        step = om / ((int(om) >> tb)) if tb else 1.0
+        tol = 0.0 if tb == 0 else step
+        assert np.abs(got - ref).max() <= tol, (h, w, c, tb)
 
 
 def test_resize_batch_errdiff_on_device():

@@ -59,3 +59,4 @@ def test_two_process_mesh():
         assert f"proc {pid}:" in out, out[-2000:]
         assert "batch dp x sp verified" in out, out[-2000:]
         assert "4K batch downsize verified" in out, out[-2000:]
+        assert "2d cross-process verified" in out, out[-2000:]

@@ -59,6 +59,35 @@ def test_cores_cap():
     assert capped.efficiency < free.efficiency
 
 
+def test_errdiff_model_floor_bounded():
+    """Sharded error diffusion replicates the full-image wavefront on
+    every device (parallel/sharded.py errdiff epilogue), so modeled
+    efficiency is floor-bounded by t_wavefront and must fall below the
+    dither='default' efficiency at every n (VERDICT r4 item 4)."""
+    from avir_tpu.parallel.scaling_model import (
+        ScalePointErrdiff,
+        model_scaling_errdiff,
+    )
+
+    plan = build_resize_plan(
+        7680, 4320, 1920, 1080, 3, np.uint8, np.uint8
+    )
+    t_chip, t_wf = 334e-6, 2.16e-3  # measured (docs/perf_analysis.md)
+    pts = model_scaling_errdiff(plan, t_chip, t_wf, n_devs=(2, 4, 8))
+    base = model_scaling(plan, t_chip, n_devs=(2, 4, 8))
+    for p, b in zip(pts, base):
+        assert isinstance(p, ScalePointErrdiff)
+        assert p.t_wavefront_us == t_wf * 1e6
+        assert p.t_step_us > p.t_wavefront_us  # wavefront is a floor
+        assert p.efficiency < b.efficiency
+        # hard upper bound: even with a free resize, n devices cannot
+        # beat (t_chip + t_wf) / (n * t_wf)
+        assert p.efficiency <= (t_chip + t_wf) / (p.n_dev * t_wf)
+    # efficiency still decreases with n
+    effs = [p.efficiency for p in pts]
+    assert effs == sorted(effs, reverse=True)
+
+
 def test_u16_itemsize_halo_bytes():
     """Halo bytes must use the REAL input element size (u16 = 2 B,
     float = 4 B), and the model's tile must match the byte-aware tile

@@ -50,12 +50,18 @@ CONFIGS = {
     "hd16k": (16384, 16384, 4096, 4096, 3, "u8", "u8", 0, -1),
 }
 DT = {"u8": np.uint8, "u16": np.uint16}
-# geom grids per config (rows x cols meshes worth publishing).
+# geom grids per config (rows x cols meshes worth publishing).  The
+# (n, 1) grids are the 1-D row-strip structure (degenerate lane op) —
+# the measured per-strip term for the 1-D tables in docs/scaling.md.
 GEOM_GRIDS = {
-    "headline": [(2, 2), (2, 4), (4, 4)],
-    "gamma": [(2, 4)],
-    "u16": [(2, 2)],
-    "hd16k": [(4, 4), (8, 4)],
+    "headline": [
+        (2, 1), (4, 1), (8, 1), (16, 1), (1, 4),
+        (2, 2), (2, 4), (4, 4),
+    ],
+    "gamma": [(4, 1), (2, 4)],
+    "u16": [(2, 1), (2, 2)],
+    "upsize": [(2, 1), (4, 1), (2, 2)],
+    "hd16k": [(4, 1), (8, 1), (16, 1), (4, 4), (8, 4)],
 }
 
 
@@ -75,7 +81,15 @@ def _device_src(plan, dt):
 
     h, wc = plan.src_h, plan.src_w * plan.el_count
     jdt = jnp.uint8 if dt == np.uint8 else jnp.uint16
-    return jax.random.bits(jax.random.PRNGKey(7), (h, wc), dtype=jdt)
+    # Chunked: threefry's u32 intermediates for a one-shot 16K source
+    # exhaust HBM on the shared chip.
+    rows = max(1, min(h, (64 << 20) // wc))
+    keys = jax.random.split(jax.random.PRNGKey(7), -(-h // rows))
+    gen = jax.jit(
+        lambda k: jax.random.bits(k, (rows, wc), dtype=jdt)
+    )
+    parts = [gen(k) for k in keys]
+    return jnp.concatenate(parts, axis=0)[:h]
 
 
 def run_mesh1(names):
@@ -246,8 +260,14 @@ def run_geom(names):
                         )
                         x, xc, ext = tiles(full_p, Z, i, j)
                         row_outs.append(cfun(x, xc, ext, *cs))
-                        ms, _ = device_ms(cfun, x, xc, ext, *cs, n=10)
-                        dev_ms.append(round(ms, 3))
+                        # Time two representative devices per grid
+                        # (shapes and compute are identical across
+                        # devices; only halo VALUES differ).
+                        if (i, j) in ((0, 0), (r // 2, s // 2)):
+                            ms, _ = device_ms(
+                                cfun, x, xc, ext, *cs, n=10
+                            )
+                            dev_ms.append(round(ms, 3))
                     out_rows.append(
                         jnp.concatenate(row_outs, axis=1)
                     )
