@@ -305,8 +305,24 @@ def errdiff_dither_wavefront_jnp(
     tmi = jnp.float32(1.0) / tm
     out_max = jnp.float32(out_max)
 
+    use_pallas = engine == "pallas" or interpret or (
+        engine == "auto"
+        and jax.default_backend() not in ("cpu", "gpu")
+    )
     if block_rows is None:
-        if 2 * h <= (_WAVEFRONT_BLOWUP - 1) * w:
+        if use_pallas:
+            # Pallas carry-kernel route: per-step latency is LINEAR in
+            # the planar vector width G = roundup(C*R/8, 128) up to
+            # G = 256 and ~3x worse beyond (VMEM spilling of the four
+            # carry vectors — measured, tools/probe_wavefront_g.py:
+            # 0.146/0.298/0.87/1.92 us/step at G = 128/256/384/896).
+            # Total scan cost ~ (H/R)(W + 2R) * t_step(G(R)) is
+            # minimized by the LARGEST R that keeps G at the 128-lane
+            # floor: R = 1024/C (8K errdiff: 64 -> ~18 ms modeled).
+            # Blocks also shrink the skew-transpose blowup to
+            # (W + 2R)/W.
+            block_rows = max(8, min(h, 1024 // c))
+        elif 2 * h <= (_WAVEFRONT_BLOWUP - 1) * w:
             block_rows = h  # wide image: one block, fewest steps
         else:
             block_rows = max(8, ((_WAVEFRONT_BLOWUP - 1) * w) // 2)

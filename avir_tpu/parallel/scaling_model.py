@@ -282,9 +282,17 @@ def model_scaling_2d(
     in_itemsize: int | None = None,
     tile: int = 64,
 ) -> list["ScalePoint2D"]:
-    """Predict 2-D (rows x cols) intra-image scaling efficiency
-    (``make_sharded_avir_executor_2d``) from the measured single-chip
-    time.
+    """Predict 2-D (rows x cols) intra-image scaling efficiency of
+    the PORTABLE XLA engine of ``make_sharded_avir_executor_2d`` from
+    the measured single-chip time.
+
+    The production fused-Pallas 2-D route is no longer modeled this
+    way: its per-chip term is MEASURED on the real chip by
+    tools/probe_strip2d_tpu.py (mesh emulation) and combined with the
+    raw-byte halo fabric model by tools/scaling_2d_report.py — see
+    docs/scaling.md for the published tables.  This function remains
+    the prediction for CPU meshes and engine="xla" (f32
+    transposed-tile column halos, per-pass exchanges).
 
     Differences from the 1-D model:
 

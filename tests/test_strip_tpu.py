@@ -183,3 +183,99 @@ def test_sharded_errdiff_batch_real_mosaic():
         assert (
             np.abs(got.astype(int) - single.astype(int)).max() <= 1
         )
+
+
+def test_avir_2d_route_real_mosaic():
+    """2-D rows x cols fused tile body over a 1x1 mesh on the real
+    chip (VERDICT r4 item 1): real Mosaic compiles the 2-D kernel
+    bodies through the production maker.  Full-size per-device
+    measurements live in tools/probe_strip2d_tpu.py and
+    docs/scaling.md."""
+    from jax.sharding import Mesh
+
+    from avir_tpu.models.runtime import make_avir_executor
+    from avir_tpu.parallel.sharded import make_sharded_avir_executor_2d
+    from avir_tpu.plan.plan import build_resize_plan
+
+    mesh = Mesh(
+        np.array(jax.devices()[:1]).reshape(1, 1), ("sp", "cp")
+    )
+    rng = np.random.default_rng(15)
+    src = rng.integers(0, 256, (768, 1024 * 3), dtype=np.uint8)
+    plan = build_resize_plan(
+        1024, 768, 512, 384, 3, np.uint8, np.uint8
+    )
+    single = make_avir_executor(plan)
+    sharded = make_sharded_avir_executor_2d(
+        plan, mesh, engine="pallas"
+    )
+    d = jax.device_put(src)
+    assert _maxdiff(single(d), sharded(d)) <= 1
+
+
+def test_avir_2d_split_kernels_real_mosaic():
+    """The (r, s) > 1 per-device kernel-call structure (interior /
+    border splits, rebased offsets, halo-extended windows) compiled by
+    REAL Mosaic via the mesh emulation of tools/probe_strip2d_tpu.py:
+    every device's exact calls run on the one chip and the assembled
+    result matches the single-chip executor."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as SP
+
+    from avir_tpu.models.runtime import make_avir_executor, resolve_modes
+    from avir_tpu.parallel.sharded import _pallas_2d_setup, shard_v_op
+    from avir_tpu.plan.plan import build_resize_plan
+
+    r, s = 2, 2
+    plan = build_resize_plan(512, 384, 256, 192, 3, np.uint8, np.uint8)
+    h, w, c = plan.src_h, plan.src_w, plan.el_count
+    svv = shard_v_op(plan.v.op, r, h, tile=64)
+    svh = shard_v_op(plan.h.op, s, w, tile=64)
+    mf, ms = resolve_modes("auto", True)
+    p2d = _pallas_2d_setup(
+        plan, r, s, h, w, "auto", mf, ms, False, 0, jnp.uint8,
+        svv.m, svh.m, "sp", "cp", [], [], [], [], "pallas", False,
+        None,
+    )
+    assert p2d is not None
+    svb, slb = p2d.svb, p2d.slb
+    strip_r, sl = svb.strip, slb.strip_lanes
+    hlr, hhr = svb.halo_lo, svb.halo_hi
+    hll, hhl = slb.halo_lo, slb.halo_hi
+
+    rng = np.random.default_rng(16)
+    src = rng.integers(0, 256, (h, w * c), dtype=np.uint8)
+    z = np.pad(src, ((hlr, hhr), (hll, hhl)))
+    single = make_avir_executor(plan)
+    a = single(jax.device_put(src))
+
+    cfun = jax.jit(
+        lambda x, xc, ext, *cs: p2d.compute(x, xc, ext, list(cs))
+    )
+    rows_spec = SP("sp")
+    out_rows = []
+    for i in range(r):
+        row = []
+        for j in range(s):
+            cs = tuple(
+                jnp.asarray(
+                    np.asarray(cst)[i if spec == rows_spec else j]
+                )
+                for cst, spec in zip(p2d.consts, p2d.specs)
+            )
+            x = jnp.asarray(
+                src[i * strip_r : (i + 1) * strip_r,
+                    j * sl : (j + 1) * sl]
+            )
+            ext = jnp.asarray(
+                z[i * strip_r : i * strip_r + hlr + strip_r + hhr,
+                  j * sl : j * sl + hll + sl + hhl]
+            )
+            xc = ext[hlr : hlr + strip_r, :]
+            row.append(cfun(x, xc, ext, *cs))
+        out_rows.append(np.concatenate([np.asarray(o) for o in row],
+                                       axis=1))
+    full = np.concatenate(out_rows, axis=0)[
+        : plan.new_h, : plan.new_w * c
+    ]
+    assert _maxdiff(np.asarray(a), full) <= 1

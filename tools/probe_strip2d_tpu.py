@@ -184,11 +184,19 @@ def run_geom(names):
         )
 
     for name in names:
+        # name or name:RxS,RxS — explicit grid override.
+        grids = None
+        if ":" in name:
+            name, spec = name.split(":", 1)
+            grids = [
+                tuple(int(v) for v in g.split("x"))
+                for g in spec.split(",")
+            ]
         plan, (sw, sh, nw, nh, ch, dt) = _plan_for(name)
         single = make_avir_executor(plan)
         src = _device_src(plan, dt)
         a = single(src)
-        for (r, s) in GEOM_GRIDS.get(name, []):
+        for (r, s) in (grids or GEOM_GRIDS.get(name, [])):
             info = {
                 "mode": "geom", "config": name, "grid": f"{r}x{s}",
             }
@@ -285,7 +293,7 @@ def run_geom(names):
                 info["ok"] = info["maxdiff"] <= 1
             except Exception as e:  # noqa: BLE001
                 info["ok"] = False
-                info["error"] = f"{type(e).__name__}: {e}"[:500]
+                info["error"] = f"{type(e).__name__}: {e}"[:3000]
             print(json.dumps(info), flush=True)
 
 
