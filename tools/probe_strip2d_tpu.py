@@ -231,9 +231,14 @@ def run_geom(names):
                 # The ppermute halos are exactly the neighbours' edge
                 # regions — i.e. a contiguous slice of the globally
                 # zero-extended image (zeros where a mesh edge has no
-                # neighbour, matching ppermute's zero fill).
-                @jax.jit
-                def tiles(Pimg, Zimg, i, j):
+                # neighbour, matching ppermute's zero fill).  Slice
+                # and compute in ONE jit: feeding the extended tile as
+                # a jit ARGUMENT gives it XLA's tiled u16 entry
+                # layout, whose relayout for the kernel's row-major
+                # operand constraint is staged in scoped VMEM and can
+                # blow the 16 MB budget (probe artifact; the maker
+                # assembles ext in-graph and never hits it).
+                def slices(Pimg, Zimg, i, j):
                     x = jax.lax.dynamic_slice(
                         Pimg, (i * strip_r, j * sl), (strip_r, sl)
                     )
@@ -245,11 +250,15 @@ def run_geom(names):
                     xc = ext[hlr : hlr + strip_r, :]
                     return x, xc, ext
 
-                cfun = jax.jit(
-                    lambda x, xc, ext, *cs: p2d.compute(
-                        x, xc, ext, list(cs)
-                    )
-                )
+                @jax.jit
+                def cfun(Pimg, Zimg, i, j, *cs):
+                    x, xc, ext = slices(Pimg, Zimg, i, j)
+                    return p2d.compute(x, xc, ext, list(cs))
+
+                # The in-graph slice copies are timed separately and
+                # netted out so dev_ms stays comparable to the
+                # shard_map body (which receives its tile sharded).
+                sfun = jax.jit(slices)
                 rows_spec = P("sp")
                 # Tap tensors once to the device; per-device slices
                 # stay on device (the tunnel is slow).
@@ -266,16 +275,20 @@ def run_geom(names):
                                 dconsts, p2d.specs
                             )
                         )
-                        x, xc, ext = tiles(full_p, Z, i, j)
-                        row_outs.append(cfun(x, xc, ext, *cs))
+                        ii = jnp.int32(i)
+                        jj = jnp.int32(j)
+                        row_outs.append(cfun(full_p, Z, ii, jj, *cs))
                         # Time two representative devices per grid
                         # (shapes and compute are identical across
                         # devices; only halo VALUES differ).
                         if (i, j) in ((0, 0), (r // 2, s // 2)):
                             ms, _ = device_ms(
-                                cfun, x, xc, ext, *cs, n=10
+                                cfun, full_p, Z, ii, jj, *cs, n=10
                             )
-                            dev_ms.append(round(ms, 3))
+                            ms_s, _ = device_ms(
+                                sfun, full_p, Z, ii, jj, n=10
+                            )
+                            dev_ms.append(round(ms - ms_s, 3))
                     out_rows.append(
                         jnp.concatenate(row_outs, axis=1)
                     )
