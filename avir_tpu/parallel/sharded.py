@@ -1998,6 +1998,46 @@ def pad_cols(src: np.ndarray, n_dev: int, c: int) -> np.ndarray:
     return np.pad(src, widths)
 
 
+def suggest_grid(plan: ResizePlan, n_devices: int) -> tuple[int, int]:
+    """Recommend an (rows, cols) grid for ``n_devices`` chips on one
+    image, from the round-5 measured tables (docs/scaling.md,
+    tools/probe_strip2d_tpu.py): COLUMN sharding beats row sharding at
+    every measured device count — (1, s) keeps the V pass's full
+    output-block grid depth and shrinks only the lane extent, while
+    (r, 1) cuts the V grid into r few-block kernels that cannot
+    amortize ramp-up (8K n=4: 1x4 = 0.80 vs 4x1 = 0.53 measured
+    per-chip efficiency).
+
+    Returns the smallest-rows factorization whose BOTH axes stay on
+    the ppermute halo path (halo <= strip; the all_gather fallback
+    forfeits the scaling), preferring pure columns, then 2-D, then
+    pure rows."""
+    in_b = 4 if plan.is_in_float else (
+        1 if plan.in_type_max == 255.0 else 2
+    )
+    c = plan.el_count
+    h, w = plan.src_h, plan.src_w
+    best = None
+    for r in [d for d in range(1, n_devices + 1)
+              if n_devices % d == 0]:
+        s = n_devices // r
+        padded_h = h + ((-h) % r)
+        padded_w = w + ((-w) % s)
+        if padded_h // r < 8 or padded_w // s < 8:
+            continue
+        ok_r = r == 1 or not shard_v_op(
+            plan.v.op, r, padded_h
+        ).use_all_gather
+        ok_c = s == 1 or not shard_lane_blocked(
+            plan.h.op, s, padded_w, c, in_bytes=in_b
+        ).use_all_gather
+        if ok_r and ok_c:
+            return (r, s)
+        if best is None:
+            best = (r, s)
+    return best if best is not None else (1, n_devices)
+
+
 def make_sharded_avir_executor_2d(
     plan: ResizePlan,
     mesh: Mesh,

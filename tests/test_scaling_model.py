@@ -105,3 +105,26 @@ def test_u16_itemsize_halo_bytes():
     )
     p2 = model_scaling(plan, 100e-6, n_devs=(2,))[0]
     assert p2.halo_bytes == p2.halo_rows * 1536 * 3 * 4  # 4 B/element
+
+
+def test_suggest_grid_column_first():
+    """suggest_grid prefers column sharding (the round-5 measured
+    winner) and falls back to rows when the lane halo stops fitting
+    the strip (tall-narrow images)."""
+    from avir_tpu.parallel.sharded import (
+        shard_lane_blocked,
+        suggest_grid,
+    )
+
+    p8k = build_resize_plan(7680, 4320, 1920, 1080, 3,
+                            np.uint8, np.uint8)
+    assert suggest_grid(p8k, 4) == (1, 4)
+    assert suggest_grid(p8k, 8) == (1, 8)
+
+    tall = build_resize_plan(64, 8192, 32, 4096, 3,
+                             np.uint8, np.uint8)
+    r, s = suggest_grid(tall, 8)
+    assert r > 1  # pure columns not viable on a 64-px-wide image
+    if s > 1:
+        slb = shard_lane_blocked(tall.h.op, s, 64, 3, in_bytes=1)
+        assert not slb.use_all_gather

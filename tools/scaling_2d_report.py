@@ -39,7 +39,7 @@ MEASURED = {
         (2, 2): 0.207, (2, 4): 0.097, (2, 8): 0.043, (4, 4): 0.059,
     }),
     "gamma": (2.06, {(2, 4): 0.369}),
-    "u16": (3.56, {(2, 2): 0.840}),
+    "u16": (3.56, {(2, 1): 1.894, (2, 2): 0.840}),
     "hd16k": (2.748, {
         (4, 1): 0.737, (8, 1): 0.393, (16, 1): 0.220,
         (4, 4): 0.193, (8, 4): 0.124,
