@@ -1244,21 +1244,83 @@ def _pallas_2d_setup(
     interpret: bool,
     pallas_tile: int | None,
 ) -> Optional[Pallas2DSetup]:
-    """Build the fused-Pallas per-device route for ``r x s`` 2-D
-    sharding, or None when the engine/viability rules route to the
-    portable XLA body (same selection logic as the 1-D maker)."""
-    if not (_use_pallas_strips(engine, interpret)
-            and precision != "exact"):
-        return None
-    c = plan.el_count
+    """AVIR wrapper over ``_pallas_2d_setup_core``: distill the
+    ResizePlan's dtype/int8/output rules, or None when the
+    engine/viability rules route to the portable XLA body (same
+    selection logic as the 1-D maker)."""
     in_b = 4 if plan.is_in_float else (
         1 if plan.in_type_max == 255.0 else 2
     )
+    int8_candidate = (
+        precision == "auto"
+        and not plan.is_in_float
+        and plan.in_type_max == 255.0
+        and not plan.is_out_float
+        and plan.out_type_max == 255.0
+        and not errdiff
+        # Sub-8-bit outputs quantize in 2^trunc_bits-LSB steps; keep
+        # the bf16 splits' headroom (same exclusion as the single-chip
+        # int8_ok, models/runtime.py).
+        and trunc_bits == 0
+    )
+    fused_kwargs = dict(
+        out_dtype=(
+            out_dt
+            if not plan.is_out_float and not errdiff
+            else jnp.float32
+        ),
+        out_max=plan.out_type_max,
+        trunc_bits=0 if errdiff else trunc_bits,
+        gamma=plan.use_srgb_gamma,
+        alpha_index=plan.alpha_index,
+        in_gamma_mult=plan.in_gamma_mult,
+        out_gamma_mult=plan.out_gamma_mult,
+    )
+    return _pallas_2d_setup_core(
+        plan.v.op, plan.h.op, plan.el_count, in_b, r, s,
+        padded_h, padded_w, precision, mode_first, mode_second,
+        int8_candidate, plan.use_srgb_gamma, fused_kwargs,
+        m_h, m_w, rows_axis, cols_axis,
+        fwd_r, bwd_r, fwd_c, bwd_c, engine, interpret, pallas_tile,
+    )
+
+
+def _pallas_2d_setup_core(
+    v_op: BandedOp,
+    h_op: BandedOp,
+    c: int,
+    in_b: int,
+    r: int,
+    s: int,
+    padded_h: int,
+    padded_w: int,
+    precision: str,
+    mode_first: str,
+    mode_second: str,
+    int8_candidate: bool,
+    int8_gamma: bool,
+    fused_kwargs: dict,
+    m_h: int,
+    m_w: int,
+    rows_axis: str,
+    cols_axis: str,
+    fwd_r, bwd_r, fwd_c, bwd_c,
+    engine: str,
+    interpret: bool,
+    pallas_tile: int | None,
+) -> Optional[Pallas2DSetup]:
+    """Build the fused-Pallas per-device route for ``r x s`` 2-D
+    sharding from distilled operator/dtype inputs (shared by the AVIR
+    and LANCIR 2-D makers), or None when the engine/viability rules
+    route to the portable XLA body."""
+    if not (_use_pallas_strips(engine, interpret)
+            and precision != "exact"):
+        return None
     svb = shard_v_blocked(
-        plan.v.op, r, padded_h, tile=pallas_tile, in_bytes=in_b
+        v_op, r, padded_h, tile=pallas_tile, in_bytes=in_b
     )
     slb = shard_lane_blocked(
-        plan.h.op, s, padded_w, c, in_bytes=in_b
+        h_op, s, padded_w, c, in_bytes=in_b
     )
     if svb.use_all_gather or slb.use_all_gather:
         logger.debug(
@@ -1285,8 +1347,7 @@ def _pallas_2d_setup(
             win_c=slb.win_c,
         )
         downsize = (
-            plan.v.op.n_out * plan.h.op.n_out
-            <= plan.v.op.n_in * plan.h.op.n_in
+            v_op.n_out * h_op.n_out <= v_op.n_in * h_op.n_in
         )
         htb = 1 if (in_b >= 2 and not downsize) else 2
         if not fused_viable_shapes(
@@ -1311,19 +1372,7 @@ def _pallas_2d_setup(
         ),
         32,
     )
-    use_int8 = (
-        precision == "auto"
-        and not plan.is_in_float
-        and plan.in_type_max == 255.0
-        and not plan.is_out_float
-        and plan.out_type_max == 255.0
-        and not errdiff
-        and slb.taps_q1 is not None
-        # Sub-8-bit outputs quantize in 2^trunc_bits-LSB steps; keep
-        # the bf16 splits' headroom (same exclusion as the single-chip
-        # int8_ok, models/runtime.py).
-        and trunc_bits == 0
-    )
+    use_int8 = int8_candidate and slb.taps_q1 is not None
     v_q_np = ()
     v_qshift = 0
     v_l1 = 0.0
@@ -1353,7 +1402,7 @@ def _pallas_2d_setup(
         use_int8 = first_pass_overflow_safe(
             q1, q0, contract_axis=3
         ) and int8_feasible(
-            probe_v, probe_hq, "vh", plan.use_srgb_gamma
+            probe_v, probe_hq, "vh", int8_gamma
         )
         if use_int8:
             v_q_np = (q1, q0)
@@ -1363,19 +1412,7 @@ def _pallas_2d_setup(
         ("int8", "int8") if use_int8 else (
             mode_first, mode_second
         ),
-        dict(
-            out_dtype=(
-                out_dt
-                if not plan.is_out_float and not errdiff
-                else jnp.float32
-            ),
-            out_max=plan.out_type_max,
-            trunc_bits=0 if errdiff else trunc_bits,
-            gamma=plan.use_srgb_gamma,
-            alpha_index=plan.alpha_index,
-            in_gamma_mult=plan.in_gamma_mult,
-            out_gamma_mult=plan.out_gamma_mult,
-        ),
+        fused_kwargs,
         (v_qshift, v_l1, v_qa1, v_qa0),
         v_q_np,
         m_h, m_w * c, rows_axis, cols_axis,
@@ -1979,6 +2016,170 @@ def make_sharded_lancir_executor(
         return _slice_padded_out(
             out, mesh, new_h, out.shape[-1], rows_axis,
             batch_axis=batch_axis,
+        )
+
+    return run
+
+
+def make_sharded_lancir_executor_2d(
+    plan,
+    mesh: Mesh,
+    rows_axis: str = "sp",
+    cols_axis: str = "cp",
+    batch_axis: Optional[str] = None,
+    precision: str = "auto",
+    tile: int = 64,
+    engine: str = "auto",
+    interpret: bool = False,
+    pallas_tile: int | None = None,
+) -> Callable[[jax.Array], jax.Array]:
+    """2-D (rows x cols) intra-image sharding for a LancirPlan — the
+    LANCIR analog of ``make_sharded_avir_executor_2d`` (same fused
+    tile body via ``_pallas_2d_setup_core``, raw-tile halos on both
+    axes, LANCIR's out_mul + round-half-even output stage; the
+    portable XLA body for CPU meshes / float outputs /
+    ``engine='xla'``).  Input ``[H_pad, W_pad*C]``
+    (``pad_rows`` + ``pad_cols``), or batched with ``batch_axis``."""
+    from ..models.runtime import resolve_modes
+
+    r = mesh.shape[rows_axis]
+    s = mesh.shape[cols_axis]
+    mode_first, mode_second = resolve_modes(
+        precision, plan.in_exact_bf16
+    )
+    h, w, c = plan.src_h, plan.src_w, plan.el_count
+    new_w, new_h = plan.new_w, plan.new_h
+    padded_h = h + ((-h) % r)
+    padded_w = w + ((-w) % s)
+    in_b = plan.in_itemsize
+
+    svv = shard_v_op(plan.v, r, padded_h, tile=tile)
+    svh = shard_v_op(plan.h, s, padded_w, tile=tile)
+    m_h, m_w = svv.m, svh.m
+    out_dt = (
+        jnp.float32
+        if plan.is_out_float
+        else (jnp.uint8 if plan.clamp == 255.0 else jnp.uint16)
+    )
+
+    fwd_r = [(i, i + 1) for i in range(r - 1)]
+    bwd_r = [(i + 1, i) for i in range(r - 1)]
+    fwd_c = [(i, i + 1) for i in range(s - 1)]
+    bwd_c = [(i + 1, i) for i in range(s - 1)]
+
+    p2d = None
+    if not plan.is_out_float:
+        p2d = _pallas_2d_setup_core(
+            plan.v, plan.h, c, in_b, r, s, padded_h, padded_w,
+            precision, mode_first, mode_second,
+            int8_candidate=(
+                precision == "auto"
+                and plan.in_exact_bf16
+                and plan.clamp == 255.0
+            ),
+            int8_gamma=False,
+            fused_kwargs=dict(
+                out_dtype=out_dt,
+                out_max=plan.clamp,
+                scale=plan.out_mul,
+                round_mode="even",
+            ),
+            m_h=m_h, m_w=m_w,
+            rows_axis=rows_axis, cols_axis=cols_axis,
+            fwd_r=fwd_r, bwd_r=bwd_r, fwd_c=fwd_c, bwd_c=bwd_c,
+            engine=engine, interpret=interpret,
+            pallas_tile=pallas_tile,
+        )
+    pallas_strips = p2d is not None
+
+    v_offs_c = jnp.asarray(svv.offs)
+    v_taps_c = jnp.asarray(svv.taps)
+    h_offs_c = jnp.asarray(svh.offs)
+    h_taps_c = jnp.asarray(svh.taps)
+
+    def body(x, v_offs, v_taps, h_offs, h_taps):
+        # x: [hs, ws*c] raw local tile.
+        v_offs, v_taps = v_offs[0], v_taps[0]
+        h_offs, h_taps = h_offs[0], h_taps[0]
+        hs = x.shape[0]
+        xf = x.astype(jnp.float32)
+        ws_loc = xf.shape[1] // c
+        xt = xf.reshape(hs, ws_loc, c).transpose(1, 0, 2).reshape(
+            ws_loc, hs * c
+        )
+
+        if svh.use_all_gather:
+            ext = jax.lax.all_gather(xt, cols_axis, tiled=True)
+            need = int(svh.offs.max()) + svh.win
+            if need > ext.shape[0]:
+                ext = jnp.pad(ext, ((0, need - ext.shape[0]), (0, 0)))
+            y = _apply_local_blocked(ext, h_offs, h_taps, mode_first)
+        else:
+            y = _overlapped_v(
+                xt, h_offs, h_taps, svh, cols_axis, fwd_c, bwd_c,
+                mode_first, _apply_local_blocked,
+            )
+        y = y[:m_w]
+        y = y.reshape(m_w, hs, c).transpose(1, 0, 2).reshape(
+            hs, m_w * c
+        )
+
+        if svv.use_all_gather:
+            ext_r = jax.lax.all_gather(y, rows_axis, tiled=True)
+            need_r = int(svv.offs.max()) + svv.win
+            if need_r > ext_r.shape[0]:
+                ext_r = jnp.pad(
+                    ext_r, ((0, need_r - ext_r.shape[0]), (0, 0))
+                )
+            z = _apply_local_blocked(
+                ext_r, v_offs, v_taps, mode_second
+            )
+        else:
+            z = _overlapped_v(
+                y, v_offs, v_taps, svv, rows_axis, fwd_r, bwd_r,
+                mode_second, _apply_local_blocked,
+            )
+        z = z[:m_h]
+        if plan.out_mul != 1.0:
+            z = z * jnp.float32(plan.out_mul)
+        if plan.is_out_float:
+            return z
+        z = jnp.clip(jnp.round(z), 0.0, plan.clamp)
+        return z.astype(out_dt)
+
+    if pallas_strips:
+        body = p2d.body
+        consts = tuple(jnp.asarray(a) for a in p2d.consts)
+        cspecs = tuple(p2d.specs)
+    else:
+        consts = (v_offs_c, v_taps_c, h_offs_c, h_taps_c)
+        cspecs = (
+            P(rows_axis), P(rows_axis), P(cols_axis), P(cols_axis)
+        )
+
+    if batch_axis is None:
+        inner = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(rows_axis, cols_axis),) + cspecs,
+            out_specs=P(rows_axis, cols_axis),
+            check_vma=False,
+        )
+    else:
+        inner = jax.shard_map(
+            jax.vmap(body, in_axes=(0,) + (None,) * len(consts)),
+            mesh=mesh,
+            in_specs=(P(batch_axis, rows_axis, cols_axis),) + cspecs,
+            out_specs=P(batch_axis, rows_axis, cols_axis),
+            check_vma=False,
+        )
+
+    @jax.jit
+    def run(src: jax.Array) -> jax.Array:
+        out = inner(src, *consts)
+        return _slice_padded_out(
+            out, mesh, new_h, new_w * c, rows_axis,
+            cols_axis=cols_axis, batch_axis=batch_axis,
         )
 
     return run

@@ -692,3 +692,67 @@ def test_sharded_2d_geom_emulation_matches_mesh():
     )
     mesh_out = np.asarray(fn(jnp.asarray(pimg)))
     np.testing.assert_array_equal(emulated, mesh_out)
+
+
+def test_sharded_lancir_2d_rows_cols():
+    """2-D (rows x cols) LANCIR executor matches the single-chip
+    result on both engines (round 5; same tile body via
+    _pallas_2d_setup_core, LANCIR round-half-even epilogue)."""
+    from avir_tpu.parallel.sharded import (
+        make_sharded_lancir_executor_2d,
+        pad_cols,
+    )
+    from avir_tpu.plan.lancir_plan import build_lancir_plan
+
+    mesh = jax.make_mesh((2, 4), ("sp", "cp"))
+    src = xorshift128_fill((192, 256, 3), np.uint8, 920)
+    plan = build_lancir_plan(256, 192, 128, 96, 3,
+                             np.uint8, np.uint8)
+    single = avir_tpu.lancir_resize(src, 128, 96)
+    flat = pad_cols(pad_rows(src.reshape(192, -1), 2), 4, 3)
+    for kw in (dict(), dict(engine="pallas", interpret=True)):
+        fn = make_sharded_lancir_executor_2d(plan, mesh, **kw)
+        out = np.asarray(fn(flat)).reshape(96, 128, 3)
+        assert np.abs(
+            out.astype(int) - single.astype(int)
+        ).max() <= 1, kw
+
+
+def test_sharded_lancir_2d_u16_batch_oddshapes():
+    """2-D LANCIR: u16 upsize with non-dividing sizes, and the batch
+    axis over a 3-axis mesh."""
+    from avir_tpu.parallel.sharded import (
+        make_sharded_lancir_executor_2d,
+        pad_cols,
+    )
+    from avir_tpu.plan.lancir_plan import build_lancir_plan
+
+    mesh = jax.make_mesh((4, 2), ("sp", "cp"))
+    src = xorshift128_fill((90, 70, 4), np.uint16, 921)
+    plan = build_lancir_plan(70, 90, 110, 130, 4,
+                             np.uint16, np.uint16)
+    fn = make_sharded_lancir_executor_2d(
+        plan, mesh, engine="pallas", interpret=True
+    )
+    flat = pad_cols(pad_rows(src.reshape(90, -1), 4), 2, 4)
+    out = np.asarray(fn(flat)).reshape(130, 110, 4)
+    single = avir_tpu.lancir_resize(src, 110, 130)
+    assert np.abs(out.astype(int) - single.astype(int)).max() <= 1
+
+    mesh3 = jax.make_mesh((2, 2, 2), ("dp", "sp", "cp"))
+    batch = np.stack([
+        xorshift128_fill((64, 48, 3), np.uint8, 930 + i)
+        for i in range(2)
+    ])
+    plan3 = build_lancir_plan(48, 64, 24, 32, 3, np.uint8, np.uint8)
+    fn3 = make_sharded_lancir_executor_2d(
+        plan3, mesh3, batch_axis="dp"
+    )
+    flat3 = pad_cols(batch.reshape(2, 64, -1), 2, 3)
+    out3 = np.asarray(fn3(flat3))
+    for i in range(2):
+        single3 = avir_tpu.lancir_resize(batch[i], 24, 32)
+        got = out3[i].reshape(32, 24, 3)
+        assert np.abs(
+            got.astype(int) - single3.astype(int)
+        ).max() <= 1

@@ -279,3 +279,29 @@ def test_avir_2d_split_kernels_real_mosaic():
         : plan.new_h, : plan.new_w * c
     ]
     assert _maxdiff(np.asarray(a), full) <= 1
+
+
+def test_lancir_2d_route_real_mosaic():
+    """2-D LANCIR maker over a 1x1 mesh on the real chip."""
+    from jax.sharding import Mesh
+
+    from avir_tpu.models.runtime import make_lancir_executor
+    from avir_tpu.parallel.sharded import (
+        make_sharded_lancir_executor_2d,
+    )
+    from avir_tpu.plan.lancir_plan import build_lancir_plan
+
+    mesh = Mesh(
+        np.array(jax.devices()[:1]).reshape(1, 1), ("sp", "cp")
+    )
+    rng = np.random.default_rng(17)
+    src = rng.integers(0, 256, (768, 1024 * 4), dtype=np.uint8)
+    plan = build_lancir_plan(
+        1024, 768, 640, 480, 4, np.uint8, np.uint8
+    )
+    single = make_lancir_executor(plan)
+    sharded = make_sharded_lancir_executor_2d(
+        plan, mesh, engine="pallas"
+    )
+    d = jax.device_put(src)
+    assert _maxdiff(single(d), sharded(d)) <= 1
