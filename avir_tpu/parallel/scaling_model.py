@@ -94,7 +94,15 @@ def model_scaling(
     ``cores`` caps the compute parallelism (virtual-device CPU meshes
     timeshare physical cores: n devices on c cores speed compute up by
     min(n, c), while halo traffic still scales with n — the regime
-    tools/scaling_bench.py validates the model in)."""
+    tools/scaling_bench.py validates the model in).
+
+    Scope note (round 5): the interior-overlap credit (``t_int``)
+    models the XLA route's ``_overlapped_v`` structure.  The fused
+    Pallas strip route now defaults to ONE blocking kernel per device
+    (``halo_overlap=False`` — the split measured ~1.4-2x slower than
+    the halo it hides), so for fused-route predictions the credit
+    should be treated as zero; the published v5e tables use measured
+    per-device times instead (tools/scaling_2d_report.py)."""
     from .sharded import shard_v_blocked
 
     v_op = plan.v.op if hasattr(plan, "v") and hasattr(plan.v, "op") \

@@ -878,7 +878,11 @@ def _pallas_strip_fn_2d(
     on), then the SAME fused two-pass kernel as the single-chip hot
     path runs on the doubly-extended tile.
 
-    Overlap structure (u8 tiles; 2/4-byte tiles run one blocking call,
+    Overlap structure (u8 tiles with ``halo_overlap=True``; the
+    DEFAULT since round 5 is ONE blocking call — on-chip A/B showed
+    the split re-streams the full H tap set per call for ~2x the
+    per-device time at production grids, far exceeding the <= ~45 us
+    of halo it hides; 2/4-byte tiles always run the blocking call,
     same Mosaic scoped-VMEM constraint as the 1-D strips):
 
       A. (V-interior x H-interior) blocks on the LOCAL tile — no data
@@ -1243,6 +1247,7 @@ def _pallas_2d_setup(
     engine: str,
     interpret: bool,
     pallas_tile: int | None,
+    halo_overlap: bool = False,
 ) -> Optional[Pallas2DSetup]:
     """AVIR wrapper over ``_pallas_2d_setup_core``: distill the
     ResizePlan's dtype/int8/output rules, or None when the
@@ -1282,6 +1287,7 @@ def _pallas_2d_setup(
         int8_candidate, plan.use_srgb_gamma, fused_kwargs,
         m_h, m_w, rows_axis, cols_axis,
         fwd_r, bwd_r, fwd_c, bwd_c, engine, interpret, pallas_tile,
+        halo_overlap=halo_overlap,
     )
 
 
@@ -1308,6 +1314,7 @@ def _pallas_2d_setup_core(
     engine: str,
     interpret: bool,
     pallas_tile: int | None,
+    halo_overlap: bool = False,
 ) -> Optional[Pallas2DSetup]:
     """Build the fused-Pallas per-device route for ``r x s`` 2-D
     sharding from distilled operator/dtype inputs (shared by the AVIR
@@ -1359,10 +1366,16 @@ def _pallas_2d_setup_core(
                 "falling back to the XLA route"
             )
             return None
-    if in_b >= 2:
-        # Single blocking kernel for 2/4-byte tiles (the V split's
-        # border outputs blow Mosaic's scoped VMEM — see the 1-D
-        # maker).
+    if in_b >= 2 or not halo_overlap:
+        # One blocking kernel is the measured DEFAULT (round 5,
+        # on-chip A/B comparison at 8K and 16K grids): the 3-call
+        # interior/border split re-streams the full H tap set per
+        # call, costing ~2x the per-device kernel time at production
+        # grids (8K 2x2: 0.40 -> 0.19 ms gross) while the halo
+        # exposure it hides is <= ~45 us.  2/4-byte tiles must also
+        # avoid the split (scoped-VMEM staging of the border-call
+        # outputs).  ``halo_overlap=True`` restores the split for
+        # fabrics where comm dominates.
         svb = dataclasses.replace(svb, b_int0=0, b_int1=0)
         slb = dataclasses.replace(slb, b_int0=0, b_int1=0)
     ext_rows = _round_up(
@@ -1489,6 +1502,7 @@ def make_sharded_avir_executor(
     interpret: bool = False,
     pallas_tile: int | None = None,
     dither: str = "default",
+    halo_overlap: bool = False,
 ) -> Callable[[jax.Array], jax.Array]:
     """Compile a ResizePlan into a sharded executor over ``mesh``.
 
@@ -1595,17 +1609,19 @@ def make_sharded_avir_executor(
             )
             pallas_strips = False
     if pallas_strips:
-        if in_b >= 2:
-            # 2/4-byte strips run as ONE blocking kernel over the
-            # assembled ext buffer instead of the interior/border V
-            # split: the split's small border-call outputs get staged
-            # by XLA in scoped VMEM (S(1)) on top of the kernel's own
-            # ~12 MB frame, exceeding the 16 MB scoped limit at real
-            # Mosaic compile (measured on v5e: u16 4K->8K strips fail
-            # split, pass unsplit — tools/probe_strip_tpu.py).  The
-            # forfeited halo/compute overlap is immaterial here: these
-            # pipelines' per-byte compute dwarfs the exposed halo
-            # (u16 8K-scale: ~23 us exposed vs ~445 us/step at n=8).
+        if in_b >= 2 or not halo_overlap:
+            # ONE blocking kernel over the assembled ext buffer is
+            # the measured default (round 5: the interior/border
+            # V-split re-streams the full H tap set per call —
+            # ~1.4-1.7x the per-device time at 8K/16K strip
+            # geometries vs <= ~45 us of hidden halo;
+            # ``halo_overlap=True`` restores the split).  2/4-byte
+            # strips must also avoid it: the split's small
+            # border-call outputs get staged by XLA in scoped VMEM
+            # (S(1)) on top of the kernel's own ~12 MB frame,
+            # exceeding the 16 MB scoped limit at real Mosaic compile
+            # (measured on v5e: u16 4K->8K strips fail split, pass
+            # unsplit — tools/probe_strip_tpu.py).
             svb = dataclasses.replace(svb, b_int0=0, b_int1=0)
         offs_c = jnp.asarray(svb.offs)
         taps_c = jnp.asarray(svb.taps)
@@ -1822,6 +1838,7 @@ def make_sharded_lancir_executor(
     engine: str = "auto",
     interpret: bool = False,
     pallas_tile: int | None = None,
+    halo_overlap: bool = False,
 ) -> Callable[[jax.Array], jax.Array]:
     """Sharded executor for a LancirPlan (same row-strip + halo scheme
     as the AVIR maker; round-half-even output stage).
@@ -1888,10 +1905,11 @@ def make_sharded_lancir_executor(
             )
             pallas_strips = False
     if pallas_strips:
-        if plan.in_itemsize >= 2:
-            # Single blocking kernel for 2/4-byte strips (see the AVIR
-            # maker: the V split's border outputs get VMEM-staged by
-            # XLA and blow the scoped limit at real Mosaic compile).
+        if plan.in_itemsize >= 2 or not halo_overlap:
+            # One blocking kernel by default (see the AVIR maker:
+            # measured faster than the V split at production strip
+            # geometries; 2/4-byte strips additionally blow the
+            # scoped VMEM limit when split).
             svb = dataclasses.replace(svb, b_int0=0, b_int1=0)
         offs_c = jnp.asarray(svb.offs)
         taps_c = jnp.asarray(svb.taps)
@@ -2032,6 +2050,7 @@ def make_sharded_lancir_executor_2d(
     engine: str = "auto",
     interpret: bool = False,
     pallas_tile: int | None = None,
+    halo_overlap: bool = False,
 ) -> Callable[[jax.Array], jax.Array]:
     """2-D (rows x cols) intra-image sharding for a LancirPlan — the
     LANCIR analog of ``make_sharded_avir_executor_2d`` (same fused
@@ -2088,7 +2107,7 @@ def make_sharded_lancir_executor_2d(
             rows_axis=rows_axis, cols_axis=cols_axis,
             fwd_r=fwd_r, bwd_r=bwd_r, fwd_c=fwd_c, bwd_c=bwd_c,
             engine=engine, interpret=interpret,
-            pallas_tile=pallas_tile,
+            pallas_tile=pallas_tile, halo_overlap=halo_overlap,
         )
     pallas_strips = p2d is not None
 
@@ -2251,6 +2270,7 @@ def make_sharded_avir_executor_2d(
     engine: str = "auto",
     interpret: bool = False,
     pallas_tile: int | None = None,
+    halo_overlap: bool = False,
 ) -> Callable[[jax.Array], jax.Array]:
     """2-D intra-image sharding: rows x columns over an (r x s) mesh
     grid (VERDICT r3 item 5 / SURVEY §2.3's distributed equivalent).
@@ -2346,6 +2366,7 @@ def make_sharded_avir_executor_2d(
         mode_first, mode_second, errdiff, trunc_bits, out_dt,
         m_h, m_w, rows_axis, cols_axis,
         fwd_r, bwd_r, fwd_c, bwd_c, engine, interpret, pallas_tile,
+        halo_overlap=halo_overlap,
     )
     pallas_strips = p2d is not None
 

@@ -202,7 +202,7 @@ def test_overlapped_interior_split_pallas():
     mesh = row_mesh(2)
     fn = make_sharded_avir_executor(
         plan, mesh, rows_axis="sp", engine="pallas", interpret=True,
-        pallas_tile=64,
+        pallas_tile=64, halo_overlap=True,
     )
     out = np.asarray(fn(src.reshape(1024, -1))).reshape(512, 64, 3)
     single = avir_tpu.resize(src, 64, 512)
@@ -613,7 +613,8 @@ def test_sharded_2d_pallas_overlapped_three_call():
     mesh = jax.make_mesh((2, 2), ("sp", "cp"))
     src = xorshift128_fill((1536, 1536, 3), np.uint8, 914)
     fn = make_sharded_avir_executor_2d(
-        plan, mesh, engine="pallas", interpret=True
+        plan, mesh, engine="pallas", interpret=True,
+        halo_overlap=True,
     )
     out = np.asarray(fn(src.reshape(1536, -1))).reshape(768, 768, 3)
     single = avir_tpu.resize(src, 768, 768)

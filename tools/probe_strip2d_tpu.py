@@ -265,6 +265,19 @@ def run_geom(names):
                 dconsts = [jnp.asarray(np.asarray(c_))
                            for c_ in p2d.consts]
 
+                # Timing uses the ARGS form (clean kernel-only
+                # device time, the published methodology); parity uses
+                # the in-graph-slice form (robust to the scoped-VMEM
+                # relayout artifact).  When the args form cannot
+                # compile, timing falls back to the closure form with
+                # the ext-slice cost netted out (one-call kernels read
+                # only ext; x/xc are dead-coded).
+                tfun = jax.jit(
+                    lambda x, xc, ext, *cs: p2d.compute(
+                        x, xc, ext, list(cs)
+                    )
+                )
+
                 def closure_fun(i, j, cs):
                     # Fallback: consts CLOSED OVER (graph constants)
                     # and static slice starts — avoids the tiled
@@ -313,19 +326,31 @@ def run_geom(names):
                         # (shapes and compute are identical across
                         # devices; only halo VALUES differ).
                         if (i, j) in ((0, 0), (r // 2, s // 2)):
-                            if use_closure:
+                            x_d, xc_d, ext_d = sfun(
+                                full_p, Z, ii, jj
+                            )
+                            try:
                                 ms, _ = device_ms(
-                                    cf, full_p, Z, n=10
-                                )
-                            else:
-                                ms, _ = device_ms(
-                                    cfun, full_p, Z, ii, jj, *cs,
+                                    tfun, x_d, xc_d, ext_d, *cs,
                                     n=10,
                                 )
-                            ms_s, _ = device_ms(
-                                sfun, full_p, Z, ii, jj, n=10
-                            )
-                            dev_ms.append(round(ms - ms_s, 3))
+                            except Exception as e:  # noqa: BLE001
+                                if "vmem" not in str(e).lower():
+                                    raise
+                                cf2 = cf or closure_fun(i, j, cs)
+                                ms, _ = device_ms(
+                                    cf2, full_p, Z, n=10
+                                )
+                                efun = jax.jit(
+                                    lambda Pimg, Zimg: slices(
+                                        Pimg, Zimg, ii, jj
+                                    )[2]
+                                )
+                                ms_e, _ = device_ms(
+                                    efun, full_p, Z, n=10
+                                )
+                                ms -= ms_e
+                            dev_ms.append(round(ms, 3))
                     out_rows.append(
                         jnp.concatenate(row_outs, axis=1)
                     )

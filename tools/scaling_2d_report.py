@@ -85,17 +85,11 @@ def comm_terms(plan, r, s, in_b):
         t_r = V5E_ICI_LAT + (
             max(svb.halo_lo, svb.halo_hi) * xc_lanes * in_b
         ) / V5E_ICI_BW
-    nv = svb.taps.shape[1]
-    nh = slb.n_blocks
-    # A degenerate axis (1 device) has no halos: every block on that
-    # axis is interior for the overlap credit.
-    fv = 1.0 if r == 1 else (
-        max(svb.b_int1 - svb.b_int0, 0) / max(nv, 1)
-    )
-    fh = 1.0 if s == 1 else (
-        max(slb.b_int1 - slb.b_int0, 0) / max(nh, 1)
-    )
-    return t_c, t_r, fv * fh
+    # Round 5: the shipped default is ONE blocking kernel per device
+    # (the 3-call interior/border split measured ~2x slower than the
+    # <= 45 us of halo it hides — parallel/sharded.py), so no overlap
+    # credit: both halo times are fully exposed.
+    return t_c, t_r, 0.0
 
 
 def main():
