@@ -31,18 +31,20 @@ from avir_tpu.parallel.scaling_model import V5E_ICI_BW, V5E_ICI_LAT
 # Measured on the real v5e chip, 2026-08-21 (tools/probe_strip2d_tpu.py
 # geom mode; ms per device, <= 1 LSB parity vs single chip in every
 # row).  single: the single-chip fused executor on the same source.
+# Round-5 one-call default (halo_overlap=False) measurements.
 MEASURED = {
     # config: (single_ms, {(r, s): dev_ms})
     "headline": (0.334, {
-        (2, 1): 0.280, (4, 1): 0.158, (8, 1): 0.076, (16, 1): 0.058,
-        (1, 2): 0.219, (1, 4): 0.105, (1, 8): 0.050,
-        (2, 2): 0.207, (2, 4): 0.097, (2, 8): 0.043, (4, 4): 0.059,
+        (2, 1): 0.199, (4, 1): 0.120, (8, 1): 0.076, (16, 1): 0.058,
+        (1, 2): 0.219, (1, 4): 0.105, (1, 8): 0.050, (1, 16): 0.025,
+        (2, 2): 0.123, (2, 4): 0.059, (2, 8): 0.029, (4, 4): 0.036,
     }),
-    "gamma": (2.06, {(2, 4): 0.369}),
-    "u16": (3.56, {(2, 1): 1.894, (2, 2): 0.840}),
-    "hd16k": (2.748, {
-        (4, 1): 0.737, (8, 1): 0.393, (16, 1): 0.220,
-        (4, 4): 0.193, (8, 4): 0.124,
+    "gamma": (2.059, {(4, 1): 0.624, (2, 4): 0.311}),
+    "u16": (3.56, {(2, 1): 1.991, (2, 2): 0.840}),
+    "hd16k": (2.735, {
+        (4, 1): 0.749, (8, 1): 0.393, (16, 1): 0.217,
+        (1, 8): 0.343, (2, 8): 0.175,
+        (4, 4): 0.180, (8, 4): 0.096,
     }),
     "upsize": (0.032, {
         (2, 1): 0.026, (4, 1): 0.016, (2, 2): 0.016,
