@@ -305,6 +305,8 @@ def errdiff_dither_wavefront_jnp(
     tmi = jnp.float32(1.0) / tm
     out_max = jnp.float32(out_max)
 
+    # Engine selection, shared by the block-size policy and both
+    # dispatch sites below (keep them in lockstep).
     use_pallas = engine == "pallas" or interpret or (
         engine == "auto"
         and jax.default_backend() not in ("cpu", "gpu")
@@ -330,16 +332,11 @@ def errdiff_dither_wavefront_jnp(
 
     flat = img.reshape(h, w * c)
     if block_rows >= h:
-        # Engine pick for the diagonal scan itself: the Pallas kernel
-        # (ops/pallas/wavefront_kernel.py) keeps the noise carries in
-        # VMEM scratch and streams diagonal chunks, removing the XLA
-        # While loop's per-step slice/update overhead (measured ~4x
-        # the VPU work at 8K).  lax.scan remains the portable path
-        # (CPU/GPU backends and the row-blocked tall-narrow route).
-        use_pallas = engine == "pallas" or interpret or (
-            engine == "auto"
-            and jax.default_backend() not in ("cpu", "gpu")
-        )
+        # The Pallas kernel (ops/pallas/wavefront_kernel.py) keeps
+        # the noise carries in VMEM scratch and streams diagonal
+        # chunks, removing the XLA While loop's per-step slice/update
+        # overhead (measured ~4x the VPU work at 8K).  lax.scan
+        # remains the portable path (CPU/GPU backends).
         if use_pallas:
             from .pallas.wavefront_kernel import wavefront_scan_pallas
 
@@ -365,10 +362,6 @@ def errdiff_dither_wavefront_jnp(
         flat = jnp.pad(flat, ((0, pad), (0, 0)))
     blocks = flat.reshape(nb, block_rows, w * c)
 
-    use_pallas = engine == "pallas" or interpret or (
-        engine == "auto"
-        and jax.default_backend() not in ("cpu", "gpu")
-    )
     if use_pallas:
         # Row-blocked Pallas route (VERDICT r4 item 3): each block
         # runs the carry kernel (ops/pallas/wavefront_kernel.py) with

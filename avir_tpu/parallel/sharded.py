@@ -836,7 +836,14 @@ def _pallas_strip_fn(
 class _ShapeOnly:
     """Stand-in for a tap tensor consumed only for its ``.shape`` at
     trace time (apply_fused_pallas reads lop.taps_hi.shape even when
-    the kernel streams the chunked/int8 forms)."""
+    the kernel streams the chunked/int8 forms).
+
+    CONTRACT: any field of LaneBlockedOp / the fused-viability probes
+    populated with a _ShapeOnly must never have its VALUES touched —
+    a future apply_fused_pallas/fused_viable_shapes change that casts
+    or barriers those taps on the chunked/int8 paths would surface as
+    an AttributeError on this class at trace time; extend this class
+    (or pass real arrays) if that contract needs to change."""
 
     def __init__(self, shape):
         self.shape = tuple(shape)
@@ -2111,11 +2118,6 @@ def make_sharded_lancir_executor_2d(
         )
     pallas_strips = p2d is not None
 
-    v_offs_c = jnp.asarray(svv.offs)
-    v_taps_c = jnp.asarray(svv.taps)
-    h_offs_c = jnp.asarray(svh.offs)
-    h_taps_c = jnp.asarray(svh.taps)
-
     def body(x, v_offs, v_taps, h_offs, h_taps):
         # x: [hs, ws*c] raw local tile.
         v_offs, v_taps = v_offs[0], v_taps[0]
@@ -2171,7 +2173,13 @@ def make_sharded_lancir_executor_2d(
         consts = tuple(jnp.asarray(a) for a in p2d.consts)
         cspecs = tuple(p2d.specs)
     else:
-        consts = (v_offs_c, v_taps_c, h_offs_c, h_taps_c)
+        # XLA-route tap consts transfer to the device only when that
+        # route is actually taken (they are dead on the fused route —
+        # and device_puts are expensive on tunnel-attached rigs).
+        consts = (
+            jnp.asarray(svv.offs), jnp.asarray(svv.taps),
+            jnp.asarray(svh.offs), jnp.asarray(svh.taps),
+        )
         cspecs = (
             P(rows_axis), P(rows_axis), P(cols_axis), P(cols_axis)
         )
@@ -2218,6 +2226,38 @@ def pad_cols(src: np.ndarray, n_dev: int, c: int) -> np.ndarray:
     return np.pad(src, widths)
 
 
+def _halo_fits(
+    op: BandedOp, n_dev: int, padded_len: int, c: int = 1
+) -> bool:
+    """Cheap halo-viability test — the ``use_all_gather`` rule of
+    ``shard_v_op`` / ``shard_lane_blocked`` (every device's window
+    overhang fits the neighbouring strip) WITHOUT densifying any
+    taps: microseconds instead of seconds, for pre-flight queries
+    like ``suggest_grid``.  ``c`` > 1 tests the lane (column) axis."""
+    if n_dev == 1:
+        return True
+    n_out, width = op.n_out, op.width
+    m = -(-n_out // n_dev)
+    strip = (padded_len // n_dev) * c
+    starts = op.starts.astype(np.int64)
+    d = np.arange(n_dev)
+    lo = np.minimum(d * m, n_out - 1)
+    hi = np.minimum((d + 1) * m, n_out) - 1
+    need_lo = np.where(
+        d * m >= n_out,
+        np.minimum(d * strip, op.n_in * c),
+        starts[lo] * c,
+    )
+    need_hi = np.where(
+        d * m >= n_out,
+        need_lo,
+        (starts[np.maximum(hi, 0)] + width) * c,
+    )
+    halo_lo = int(max(0, np.max(d * strip - need_lo)))
+    halo_hi = int(max(0, np.max(need_hi - (d + 1) * strip)))
+    return halo_lo <= strip and halo_hi <= strip
+
+
 def suggest_grid(plan: ResizePlan, n_devices: int) -> tuple[int, int]:
     """Recommend an (rows, cols) grid for ``n_devices`` chips on one
     image, from the round-5 measured tables (docs/scaling.md,
@@ -2232,9 +2272,6 @@ def suggest_grid(plan: ResizePlan, n_devices: int) -> tuple[int, int]:
     the ppermute halo path (halo <= strip; the all_gather fallback
     forfeits the scaling), preferring pure columns, then 2-D, then
     pure rows."""
-    in_b = 4 if plan.is_in_float else (
-        1 if plan.in_type_max == 255.0 else 2
-    )
     c = plan.el_count
     h, w = plan.src_h, plan.src_w
     best = None
@@ -2245,13 +2282,9 @@ def suggest_grid(plan: ResizePlan, n_devices: int) -> tuple[int, int]:
         padded_w = w + ((-w) % s)
         if padded_h // r < 8 or padded_w // s < 8:
             continue
-        ok_r = r == 1 or not shard_v_op(
-            plan.v.op, r, padded_h
-        ).use_all_gather
-        ok_c = s == 1 or not shard_lane_blocked(
-            plan.h.op, s, padded_w, c, in_bytes=in_b
-        ).use_all_gather
-        if ok_r and ok_c:
+        if _halo_fits(plan.v.op, r, padded_h) and _halo_fits(
+            plan.h.op, s, padded_w, c
+        ):
             return (r, s)
         if best is None:
             best = (r, s)
@@ -2370,11 +2403,6 @@ def make_sharded_avir_executor_2d(
     )
     pallas_strips = p2d is not None
 
-    v_offs_c = jnp.asarray(svv.offs)
-    v_taps_c = jnp.asarray(svv.taps)
-    h_offs_c = jnp.asarray(svh.offs)
-    h_taps_c = jnp.asarray(svh.taps)
-
     def body(x, v_offs, v_taps, h_offs, h_taps):
         # x: [hs, ws*c] raw local tile.
         v_offs, v_taps = v_offs[0], v_taps[0]
@@ -2457,7 +2485,13 @@ def make_sharded_avir_executor_2d(
         consts = tuple(jnp.asarray(a) for a in p2d.consts)
         cspecs = tuple(p2d.specs)
     else:
-        consts = (v_offs_c, v_taps_c, h_offs_c, h_taps_c)
+        # XLA-route tap consts transfer to the device only when that
+        # route is actually taken (they are dead on the fused route —
+        # and device_puts are expensive on tunnel-attached rigs).
+        consts = (
+            jnp.asarray(svv.offs), jnp.asarray(svv.taps),
+            jnp.asarray(svh.offs), jnp.asarray(svh.taps),
+        )
         cspecs = (
             P(rows_axis), P(rows_axis), P(cols_axis), P(cols_axis)
         )
