@@ -305,3 +305,32 @@ def test_lancir_2d_route_real_mosaic():
     )
     d = jax.device_put(src)
     assert _maxdiff(single(d), sharded(d)) <= 1
+
+
+def test_avir_2d_errdiff_real_mosaic():
+    """2-D maker with in-graph error diffusion on the real chip: the
+    fused tile body emits pre-dither float, the gather epilogue runs
+    the row-blocked Pallas wavefront carry kernel inside shard_map —
+    real Mosaic compiles both in one program over the 2-D mesh."""
+    from jax.sharding import Mesh
+
+    from avir_tpu.models.runtime import make_avir_executor
+    from avir_tpu.parallel.sharded import make_sharded_avir_executor_2d
+    from avir_tpu.plan.plan import build_resize_plan
+
+    mesh = Mesh(
+        np.array(jax.devices()[:1]).reshape(1, 1), ("sp", "cp")
+    )
+    rng = np.random.default_rng(18)
+    src = rng.integers(0, 256, (768, 1024 * 3), dtype=np.uint8)
+    plan = build_resize_plan(
+        1024, 768, 512, 384, 3, np.uint8, np.uint8
+    )
+    single = make_avir_executor(
+        plan, errdiff=True, errdiff_impl="wavefront"
+    )
+    sharded = make_sharded_avir_executor_2d(
+        plan, mesh, dither="errdiff"
+    )
+    d = jax.device_put(src)
+    assert _maxdiff(single(d), sharded(d)) <= 1
