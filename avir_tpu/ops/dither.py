@@ -369,27 +369,35 @@ def errdiff_dither_wavefront_jnp(
         # head scalars.  Smaller blocks shrink BOTH the per-step
         # planar vector G = C*R/8 (the wide-vector VMEM streaming
         # that bounds the full-image kernel) and the skew-transpose
-        # blowup ((W + 2R)/W instead of (W + 2H)/W).
+        # blowup ((W + 2R)/W instead of (W + 2H)/W).  The block chain
+        # is a PYTHON loop (nb is small and static): under lax.scan
+        # the xs-slice / ys-stack machinery and unfused copies around
+        # the kernel cost more device time than the kernel itself
+        # (profiled at 8K: ~22 of 34 ms).
         from .pallas.wavefront_kernel import wavefront_scan_pallas_carry
 
         tmi_f32 = float(np.float32(1.0) / np.float32(tm_py))
         rb = block_rows
-
-        def blk_step(n_last, block):
-            s_b = _skew_rows(block.astype(jnp.float32), w, c)
-            o_b, nf = wavefront_scan_pallas_carry(
+        n_last = jnp.zeros((w * c,), jnp.float32)
+        outs = []
+        for b in range(nb):
+            s_b = _skew_rows(
+                flat[b * rb : (b + 1) * rb].astype(jnp.float32),
+                w, c,
+            )
+            o_b, n_last = wavefront_scan_pallas_carry(
                 s_b, w, c, tm_py, tmi_f32, out_max_py, n_last,
                 interpret=interpret, chunk=pallas_chunk,
             )
-            return nf, _unskew_rows(o_b, rb, w, c)
+            outs.append(_unskew_rows(o_b, rb, w, c))
+        O = jnp.concatenate(outs, axis=0)
+        return O.reshape(nb * block_rows, w, c)[:h]
 
-    else:
-
-        def blk_step(n_last, block):
-            out_b, n_next = _wavefront_rows(
-                block, n_last, tm, tmi, out_max, unroll, w, c
-            )
-            return n_next, out_b
+    def blk_step(n_last, block):
+        out_b, n_next = _wavefront_rows(
+            block, n_last, tm, tmi, out_max, unroll, w, c
+        )
+        return n_next, out_b
 
     _, O = jax.lax.scan(
         blk_step, jnp.zeros((w * c,), jnp.float32), blocks
